@@ -1,0 +1,95 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's NCCL/c10d distributed setup
+(reference conf/lrs3/multi_target.yaml:19-24, multi_input_vocoder/train.py:39-45):
+instead of per-process DDP with explicit all-reduce, we build one
+jax.sharding.Mesh and let pjit/XLA insert collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """Build a 2-D (data, model) mesh.
+
+    data=-1 means "all remaining devices after the model axis".
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model < 1:
+        raise ValueError("model axis must be >= 1")
+    if data == -1:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs {data * model} devices, have {n}")
+    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a pytree of host arrays with batch-dim sharding."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+_ACTIVE_MESH: list[Mesh] = []
+
+
+@contextmanager
+def use_mesh(mesh: Mesh):
+    _ACTIVE_MESH.append(mesh)
+    try:
+        with mesh:
+            yield mesh
+    finally:
+        _ACTIVE_MESH.pop()
+
+
+def active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH[-1] if _ACTIVE_MESH else None
+
+
+def pad_batch_to_multiple(tree, multiple: int):
+    """Pad every leaf's leading dim up to a multiple (for even data sharding).
+
+    Returns (padded_tree, real_batch). Padded rows replicate row 0 so padded
+    work is numerically benign; callers mask out results beyond real_batch.
+    """
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves:
+        return tree, 0
+    batch = leaves[0].shape[0]
+    target = ((batch + multiple - 1) // multiple) * multiple
+    if target == batch:
+        return tree, batch
+
+    def _pad(x):
+        reps = np.repeat(x[:1], target - batch, axis=0)
+        return np.concatenate([x, reps], axis=0)
+
+    return jax.tree_util.tree_map(_pad, tree), batch

@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX import.
+
+Real TPU hardware is single-chip in this environment; multi-chip sharding is
+validated on virtual CPU devices (SURVEY.md §4 implication).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import pytest  # noqa: E402
+
+REFERENCE_DATA = "/root/reference/datasets/lrs3"
+
+
+@pytest.fixture(scope="session")
+def lrs3_sample_dir():
+    import pathlib
+
+    p = pathlib.Path(REFERENCE_DATA)
+    if not p.exists():
+        pytest.skip("bundled LRS3 sample data not available")
+    return p
