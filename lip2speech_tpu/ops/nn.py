@@ -1,0 +1,277 @@
+"""Neural-net primitives with PyTorch numeric semantics, TPU-native layouts.
+
+All ops use channel-LAST layouts (B, ..., C) — the layout XLA tiles best on
+TPU — while reproducing PyTorch's padding/stride/dilation conventions exactly,
+so converted reference checkpoints are numerically faithful (SURVEY.md §7
+"hard parts": conv padding conventions, BatchNorm stats, weight-norm folding).
+
+Weight layouts (converter transposes from torch at load time):
+  conv1d:           (K, Cin/groups, Cout)        torch: (Cout, Cin/groups, K)
+  conv2d:           (Kh, Kw, Cin/groups, Cout)   torch: (Cout, Cin/groups, Kh, Kw)
+  conv3d:           (Kt, Kh, Kw, Cin, Cout)      torch: (Cout, Cin, Kt, Kh, Kw)
+  conv_transpose1d: (K, Cout, Cin)               torch: (Cin, Cout, K)
+  linear:           (Din, Dout)                  torch: (Dout, Din)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pair(v):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+
+# ---------------------------------------------------------------------------
+# Convolutions
+# ---------------------------------------------------------------------------
+
+
+def conv1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """(B, T, Cin) x (K, Cin/groups, Cout) -> (B, T', Cout). torch.nn.Conv1d."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def conv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    stride=1,
+    padding=0,
+    dilation=1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """(B, H, W, Cin) x (Kh, Kw, Cin/groups, Cout) -> (B, H', W', Cout)."""
+    s, p, d = _pair(stride), _pair(padding), _pair(dilation)
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=s,
+        padding=[(p[0], p[0]), (p[1], p[1])],
+        rhs_dilation=d,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def conv3d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    stride=(1, 1, 1),
+    padding=(0, 0, 0),
+) -> jnp.ndarray:
+    """(B, T, H, W, Cin) x (Kt, Kh, Kw, Cin, Cout) -> (B, T', H', W', Cout)."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=tuple(stride),
+        padding=[(p, p) for p in padding],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def conv_transpose1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    stride: int = 1,
+    padding: int = 0,
+) -> jnp.ndarray:
+    """(B, T, Cin) x (K, Cout, Cin) -> (B, (T-1)*stride - 2*padding + K, Cout).
+
+    torch.nn.ConvTranspose1d semantics (output_padding=0), expressed as a
+    fractionally-strided conv: lhs_dilation=stride, spatially flipped kernel,
+    pad (K-1-padding) both sides.
+    """
+    k = w.shape[0]
+    w_flip = jnp.flip(w, axis=0)  # (K, Cout, Cin) flipped in time
+    out = jax.lax.conv_general_dilated(
+        x,
+        w_flip,
+        window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NWC", "WOI", "NWC"),
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+
+def batch_norm(
+    x: jnp.ndarray,
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Inference-mode batch norm over the trailing channel dim."""
+    inv = jax.lax.rsqrt(var + eps)
+    return (x - mean) * inv * gamma + beta
+
+
+def batch_norm_train(
+    x: jnp.ndarray,
+    running_mean: jnp.ndarray,
+    running_var: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    eps: float = 1e-5,
+    momentum: float = 0.1,
+    axis_name: str | None = None,
+):
+    """Training-mode batch norm (channel-last); returns (y, new_mean, new_var).
+
+    Batch statistics are computed over all non-channel dims; if axis_name is
+    given they are additionally psum-averaged over that mesh axis (the
+    sync-BN equivalent — torch BN is per-replica, but cross-replica stats only
+    help; pass axis_name=None for exact torch behavior).
+    """
+    reduce_axes = tuple(range(x.ndim - 1))
+    n = np.prod([x.shape[a] for a in reduce_axes]).astype(np.float32)
+    mean = jnp.mean(x, axis=reduce_axes)
+    mean_sq = jnp.mean(jnp.square(x), axis=reduce_axes)
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        mean_sq = jax.lax.pmean(mean_sq, axis_name)
+        n = n * jax.lax.psum(1, axis_name)
+    var = mean_sq - jnp.square(mean)
+    y = (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    # torch updates running_var with the UNBIASED batch variance
+    unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+    new_mean = (1 - momentum) * running_mean + momentum * mean
+    new_var = (1 - momentum) * running_var + momentum * unbiased
+    return y, new_mean, new_var
+
+
+def layer_norm(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    eps: float = 1e-12,
+) -> jnp.ndarray:
+    """LayerNorm over the last dim. Default eps matches ESPnet's LayerNorm
+    (reference espnet .../transformer/layer_norm.py: eps=1e-12)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
+# ---------------------------------------------------------------------------
+# Activations / misc
+# ---------------------------------------------------------------------------
+
+
+def swish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(x)
+
+
+def prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def glu(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
+
+
+def leaky_relu(x: jnp.ndarray, slope: float = 0.1) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — torch.nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def max_pool3d(
+    x: jnp.ndarray,
+    kernel=(1, 3, 3),
+    stride=(1, 2, 2),
+    padding=(0, 1, 1),
+) -> jnp.ndarray:
+    """(B, T, H, W, C) max pool with torch padding (pads with -inf)."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, *kernel, 1),
+        window_strides=(1, *stride, 1),
+        padding=[(0, 0)] + [(p, p) for p in padding] + [(0, 0)],
+    )
+
+
+def avg_pool1d(
+    x: jnp.ndarray, kernel: int, stride: int, padding: int
+) -> jnp.ndarray:
+    """(B, T, C) average pool, count_include_pad=True (torch AvgPool1d default)."""
+    summed = jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, kernel, 1),
+        window_strides=(1, stride, 1),
+        padding=[(0, 0), (padding, padding), (0, 0)],
+    )
+    return summed / kernel
+
+
+def fold_weight_norm(v: np.ndarray, g: np.ndarray, dim: int = 0) -> np.ndarray:
+    """Fold torch weight_norm params: w = g * v / ||v|| (norm over all dims
+    except `dim`). Applied once at checkpoint conversion, mirroring
+    remove_weight_norm at reference vocoder inference (inference.py:62)."""
+    axes = tuple(i for i in range(v.ndim) if i != dim)
+    norm = np.sqrt(np.sum(np.square(v), axis=axes, keepdims=True))
+    return (g.reshape(norm.shape) / norm) * v
+
+
+def sinusoidal_rel_pos_encoding(length: int, d_model: int) -> np.ndarray:
+    """Transformer-XL style symmetric relative positions, shape (2L-1, d).
+
+    Row 0 is relative position +(L-1) (query far right of key) down to
+    -(L-1); matches ESPnet RelPositionalEncoding.extend_pe
+    (reference espnet .../transformer/embedding.py:155-218).
+    """
+    pos = np.arange(length, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float32) * -(np.log(10000.0) / d_model))
+    pe_pos = np.zeros((length, d_model), dtype=np.float32)
+    pe_pos[:, 0::2] = np.sin(pos * div)
+    pe_pos[:, 1::2] = np.cos(pos * div)
+    pe_neg = np.zeros((length, d_model), dtype=np.float32)
+    pe_neg[:, 0::2] = np.sin(-pos * div)
+    pe_neg[:, 1::2] = np.cos(-pos * div)
+    return np.concatenate([pe_pos[::-1], pe_neg[1:]], axis=0)

@@ -1,16 +1,22 @@
-"""Test configuration: force an 8-device virtual CPU mesh before JAX import.
+"""Test configuration: force an 8-device virtual CPU mesh.
 
 Real TPU hardware is single-chip in this environment; multi-chip sharding is
 validated on virtual CPU devices (SURVEY.md §4 implication).
+
+Note: the environment's sitecustomize imports jax and registers the axon TPU
+backend at interpreter start, so JAX_PLATFORMS env tweaks are too late — we
+must use jax.config.update before any backend is initialized.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
