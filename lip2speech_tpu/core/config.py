@@ -181,9 +181,10 @@ class Stage1TrainConfig:
     lr: float = 1e-3
     adam_b1: float = 0.9
     adam_b2: float = 0.98
-    weight_decay: float = 0.0
+    adam_eps: float = 1e-8
+    weight_decay: float = 0.01
     warmup_updates: int = 10_000
-    max_updates: int = 100_000
+    max_updates: int = 150_000
     clip_norm: float = 10.0
     update_freq: int = 8                       # gradient accumulation
     label_smoothing: float = 0.1

@@ -1,0 +1,167 @@
+"""Stage-1 training: pjit data-parallel loop with gradient accumulation.
+
+TPU-native replacement for the reference's fairseq-hydra-train + c10d DDP
+setup (conf/lrs3/multi_target.yaml): one jitted train step over a
+jax.sharding.Mesh; the batch carries a leading accumulation axis
+(update_freq=8) consumed by lax.scan inside the step, and XLA inserts the
+gradient all-reduce over the 'data' axis automatically (params replicated,
+batch sharded).
+
+Optimizer parity: fairseq Adam(0.9, 0.98, eps 1e-8) with decoupled weight
+decay 0.01, cosine schedule with 10k warmup over 150k updates, clip-norm 10,
+grads normalized by the summed sample_size (sentence count) like fairseq.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lip2speech_tpu.core.config import PipelineConfig, Stage1TrainConfig
+from lip2speech_tpu.models.multi_target import MultiTargetModel
+from lip2speech_tpu.parallel.mesh import DATA_AXIS
+from lip2speech_tpu.train.losses import stage1_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def lr_schedule(cfg: Stage1TrainConfig):
+    """fairseq cosine LR: linear warmup to peak, cosine decay to ~0."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.lr,
+        warmup_steps=cfg.warmup_updates,
+        decay_steps=cfg.max_updates,
+        end_value=cfg.lr * 1e-3,
+    )
+
+
+def _frontend_label_tree(params, frozen: bool):
+    """Label pytree for optax.multi_transform: frozen frontend params get
+    zero updates (the reference freezes via requires_grad=False /
+    freeze_finetune_updates = max_updates)."""
+
+    def label(path, _):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        if frozen and top.startswith("frontend"):
+            return "frozen"
+        return "train"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(cfg: Stage1TrainConfig, params, frontend_frozen: bool):
+    base = optax.chain(
+        optax.clip_by_global_norm(cfg.clip_norm),
+        optax.adamw(
+            learning_rate=lr_schedule(cfg),
+            b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+    labels = _frontend_label_tree(params, frontend_frozen)
+    return optax.multi_transform(
+        {"train": base, "frozen": optax.set_to_zero()}, labels)
+
+
+def create_train_state(cfg: PipelineConfig, rng: jax.Array, sample_batch: dict):
+    model = MultiTargetModel(cfg.model)
+    init_rng, drop_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": init_rng, "dropout": drop_rng},
+        jnp.asarray(sample_batch["video"]),
+        jnp.asarray(sample_batch["frames_mask"]),
+        jnp.asarray(sample_batch["spk_emb"]),
+        train=False,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = make_optimizer(cfg.stage1, params, cfg.model.frontend.frozen)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=tx.init(params))
+    return model, tx, state
+
+
+def make_train_step(model: MultiTargetModel, tx, cfg: PipelineConfig, mesh=None):
+    """Returns train_step(state, batch, rng) -> (state, logs).
+
+    batch leaves have shape (accum, micro_batch, ...). When a mesh is given,
+    the micro_batch dim is sharded over the data axis.
+    """
+    s1 = cfg.stage1
+    pad_id = cfg.model.units.pad
+
+    def micro_loss(params, batch_stats, micro, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        outputs, mutated = model.apply(
+            variables, micro["video"], micro["frames_mask"], micro["spk_emb"],
+            train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+        loss, sample_size, logs = stage1_loss(
+            outputs, micro, pad_id,
+            label_smoothing=s1.label_smoothing, mel_weight=s1.mel_weight,
+            text_weight=s1.text_weight, sentence_avg=s1.sentence_avg)
+        return loss, (sample_size, logs, mutated["batch_stats"])
+
+    grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        accum = batch["video"].shape[0]
+
+        def scan_body(carry, inp):
+            grad_sum, ss_sum, stats, i = carry
+            micro = inp
+            step_rng = jax.random.fold_in(rng, i)
+            (loss, (ss, logs, new_stats)), grads = grad_fn(
+                state.params, stats, micro, step_rng)
+            grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+            return (grad_sum, ss_sum + ss, new_stats, i + 1), logs
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (grad_sum, ss_sum, new_stats, _), logs = jax.lax.scan(
+            scan_body, (zero_grads, jnp.zeros((), jnp.float32), state.batch_stats,
+                        jnp.zeros((), jnp.int32)),
+            batch)
+
+        # fairseq: grads of summed loss divided by total sample_size
+        denom = jnp.maximum(ss_sum, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / denom, grad_sum)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        mean_logs = jax.tree_util.tree_map(jnp.sum, logs)  # summed over accum
+        mean_logs = {**mean_logs, "sample_size": ss_sum,
+                     "grad_norm": optax.global_norm(grads)}
+        return new_state, mean_logs
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, DATA_AXIS))  # (accum, batch, ...)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def stack_accum(batches: list[dict]) -> dict:
+    """Stack update_freq host micro-batches into the (accum, B, ...) layout."""
+    import numpy as np
+
+    keys = [k for k in batches[0] if k != "ids"]
+    return {k: np.stack([b[k] for b in batches]) for k in keys}

@@ -1,0 +1,186 @@
+"""Stage-2 (vocoder) GAN training: one jitted step, two optimizers.
+
+TPU-native replacement for reference multi_input_vocoder/train.py:38-309
+(hand-rolled NCCL DDP loop). D and G updates run inside a single jitted
+function; batch sharded over the data axis, params replicated, XLA inserts
+the gradient all-reduce.
+
+Parity: AdamW(0.8, 0.99, wd 0.01 torch default) lr 2e-4, ExponentialLR
+gamma=0.999 per EPOCH (stepped by the host loop), D step on (y, sg(y_hat)),
+G step = mel L1 x45 (HiFi-GAN mel 1024/256/1024 fmax=None) + feature-matching
++ LSGAN adversarial for both MPD and MSD.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lip2speech_tpu.core.config import PipelineConfig
+from lip2speech_tpu.models.vocoder import (
+    MelCodeGenerator,
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+    discriminator_loss,
+    feature_loss,
+    generator_adv_loss,
+)
+from lip2speech_tpu.ops.dsp import mel_spectrogram_hifigan
+from lip2speech_tpu.parallel.mesh import DATA_AXIS
+
+
+class GanState(struct.PyTreeNode):
+    step: jnp.ndarray
+    epoch: jnp.ndarray                    # drives the per-epoch LR decay
+    gen_params: Any
+    mpd_params: Any
+    msd_params: Any
+    msd_spectral: Any                     # power-iteration state
+    gen_opt: Any
+    disc_opt: Any
+
+
+def _make_tx(cfg):
+    # lr multiplier for epoch decay is applied via inject_hyperparams
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.adamw(
+            learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2, weight_decay=0.01)
+    )(learning_rate=cfg.lr)
+
+
+def create_gan_state(cfg: PipelineConfig, rng: jax.Array, sample_batch: dict):
+    gen = MelCodeGenerator(cfg.vocoder)
+    mpd = MultiPeriodDiscriminator()
+    msd = MultiScaleDiscriminator()
+
+    g_rng, p_rng, s_rng = jax.random.split(rng, 3)
+    code = jnp.asarray(sample_batch["code"])
+    mel = jnp.asarray(sample_batch["mel"])
+    spk = jnp.asarray(sample_batch["spk_emb"])
+    audio = jnp.asarray(sample_batch["audio"])
+
+    gen_vars = gen.init({"params": g_rng}, code, mel, spk, deterministic=True)
+    mpd_vars = mpd.init({"params": p_rng}, audio, audio, train=False)
+    msd_vars = msd.init({"params": s_rng}, audio, audio, train=False)
+
+    tx_g, tx_d = _make_tx(cfg.stage2), _make_tx(cfg.stage2)
+    disc_params = {"mpd": mpd_vars["params"], "msd": msd_vars["params"]}
+    state = GanState(
+        step=jnp.zeros((), jnp.int32), epoch=jnp.zeros((), jnp.int32),
+        gen_params=gen_vars["params"],
+        mpd_params=mpd_vars["params"], msd_params=msd_vars["params"],
+        msd_spectral=msd_vars.get("spectral", FrozenDict()),
+        gen_opt=tx_g.init(gen_vars["params"]),
+        disc_opt=tx_d.init(disc_params),
+    )
+    return (gen, mpd, msd), (tx_g, tx_d), state
+
+
+def make_gan_step(models, txs, cfg: PipelineConfig, mesh=None):
+    gen, mpd, msd = models
+    tx_g, tx_d = txs
+    s2 = cfg.stage2
+    au = cfg.audio
+
+    def gen_forward(gen_params, batch, rng):
+        return gen.apply({"params": gen_params}, batch["code"], batch["mel"],
+                         batch["spk_emb"], deterministic=False,
+                         rngs={"dropout": rng})
+
+    def mel_of(wav):
+        return mel_spectrogram_hifigan(
+            wav, au.sample_rate, au.loss_n_fft, au.loss_hop_length,
+            au.loss_win_length, au.num_mels, au.fmin, au.loss_fmax)
+
+    def disc_loss_fn(disc_params, spectral, y, y_hat):
+        rs, gs, _, _ = mpd.apply({"params": disc_params["mpd"]}, y, y_hat, train=True)
+        out, mutated = msd.apply(
+            {"params": disc_params["msd"], "spectral": spectral},
+            y, y_hat, train=True, mutable=["spectral"])
+        rs2, gs2, _, _ = out
+        loss = discriminator_loss(rs, gs) + discriminator_loss(rs2, gs2)
+        return loss, mutated["spectral"]
+
+    def gen_loss_fn(gen_params, disc_params, spectral, batch, y_mel, rng):
+        y = batch["audio"]
+        y_hat = gen_forward(gen_params, batch, rng)
+        y_hat_mel = mel_of(y_hat)
+        loss_mel = jnp.mean(jnp.abs(y_mel - y_hat_mel)) * s2.lambda_mel
+
+        _, gs_f, fr_f, fg_f = mpd.apply({"params": disc_params["mpd"]}, y, y_hat, train=True)
+        (_, gs_s, fr_s, fg_s), _ = msd.apply(
+            {"params": disc_params["msd"], "spectral": spectral},
+            y, y_hat, train=True, mutable=["spectral"])
+
+        loss_fm = feature_loss(fr_f, fg_f) + feature_loss(fr_s, fg_s)
+        loss_adv = generator_adv_loss(gs_f) + generator_adv_loss(gs_s)
+        total = loss_mel + loss_fm + loss_adv
+        aux = {"loss_gen": total, "loss_mel": loss_mel / s2.lambda_mel,
+               "loss_fm": loss_fm, "loss_adv": loss_adv}
+        return total, aux
+
+    def gan_step(state: GanState, batch: dict, rng: jax.Array):
+        rng_d, rng_g = jax.random.split(rng)
+        lr_scale = jnp.power(s2.lr_decay, state.epoch.astype(jnp.float32))
+        y = batch["audio"]
+        y_mel = mel_of(y)
+
+        # ---- D step (generator detached) ----
+        y_hat_d = jax.lax.stop_gradient(gen_forward(state.gen_params, batch, rng_d))
+        disc_params = {"mpd": state.mpd_params, "msd": state.msd_params}
+        (d_loss, new_spectral), d_grads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True)(disc_params, state.msd_spectral, y, y_hat_d)
+        d_opt = state.disc_opt
+        d_opt.hyperparams["learning_rate"] = s2.lr * lr_scale
+        d_updates, new_d_opt = tx_d.update(d_grads, d_opt, disc_params)
+        new_disc = optax.apply_updates(disc_params, d_updates)
+
+        # ---- G step (against updated discriminators, like the reference) ----
+        (g_loss, aux), g_grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+            state.gen_params, new_disc, new_spectral, batch, y_mel, rng_g)
+        g_opt = state.gen_opt
+        g_opt.hyperparams["learning_rate"] = s2.lr * lr_scale
+        g_updates, new_g_opt = tx_g.update(g_grads, g_opt, state.gen_params)
+        new_gen = optax.apply_updates(state.gen_params, g_updates)
+
+        new_state = GanState(
+            step=state.step + 1, epoch=state.epoch,
+            gen_params=new_gen, mpd_params=new_disc["mpd"], msd_params=new_disc["msd"],
+            msd_spectral=new_spectral, gen_opt=new_g_opt, disc_opt=new_d_opt)
+        logs = {"loss_disc": d_loss, **aux}
+        return new_state, logs
+
+    if mesh is None:
+        return jax.jit(gan_step, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(gan_step,
+                   in_shardings=(repl, data, repl),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,))
+
+
+def next_epoch(state: GanState) -> GanState:
+    return state.replace(epoch=state.epoch + 1)
+
+
+def validation_mel_l1(gen, gen_params, batch, cfg: PipelineConfig) -> jnp.ndarray:
+    """Reference validation metric: mel L1 on full clips (train.py:219-241)."""
+    au = cfg.audio
+    y_hat = gen.apply({"params": gen_params}, jnp.asarray(batch["code"]),
+                      jnp.asarray(batch["mel"]), jnp.asarray(batch["spk_emb"]),
+                      deterministic=True)
+    y_mel = mel_spectrogram_hifigan(jnp.asarray(batch["audio"]), au.sample_rate,
+                                    au.loss_n_fft, au.loss_hop_length,
+                                    au.loss_win_length, au.num_mels, au.fmin,
+                                    au.loss_fmax)
+    y_hat_mel = mel_spectrogram_hifigan(y_hat, au.sample_rate, au.loss_n_fft,
+                                        au.loss_hop_length, au.loss_win_length,
+                                        au.num_mels, au.fmin, au.loss_fmax)
+    return jnp.mean(jnp.abs(y_mel - y_hat_mel))
