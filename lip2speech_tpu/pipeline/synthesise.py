@@ -1,0 +1,122 @@
+"""End-to-end synthesis: mouth video + speaker embedding -> 16 kHz waveform.
+
+This is the single-device-program replacement for the reference's five-process
+relay (SURVEY.md §3.1: gateway -> Redis -> dlib -> disk -> decoder HTTP ->
+disk -> vocoder HTTP -> ffmpeg). The whole graph
+
+    video (B,T,88,88,1) --frontend+conformer--> unit logits (B,2T,204)
+                                            +--> mel (B,4T,80)
+    units = masked argmax ------------------+
+    vocoder(units, mel, spk) ------------------> wav (B, 640*T)
+
+is one jitted XLA program per (batch, bucket-length) signature. Host code
+only does video decode, cropping, and WAV serialization.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lip2speech_tpu.core.config import PipelineConfig
+from lip2speech_tpu.data.stage1 import pick_bucket
+from lip2speech_tpu.data.transforms import prepare_video
+from lip2speech_tpu.data.video_io import load_video_gray
+from lip2speech_tpu.models.multi_target import MultiTargetModel
+from lip2speech_tpu.models.vocoder import MelCodeGenerator
+
+
+@dataclass
+class SynthesisResult:
+    wav: np.ndarray          # (n_samples,) float32 in [-1, 1]
+    units: np.ndarray        # (2 * n_frames,) int32
+    mel: np.ndarray          # (4 * n_frames, 80) float32
+    sample_rate: int = 16_000
+
+
+class Lip2SpeechPipeline:
+    """Bundles stage-1 + vocoder params behind one jitted e2e function."""
+
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        stage1_variables: dict[str, Any],
+        vocoder_params: dict[str, Any],
+    ):
+        self.cfg = cfg
+        self.model = MultiTargetModel(cfg.model)
+        self.vocoder = MelCodeGenerator(cfg.vocoder)
+        self.stage1_variables = stage1_variables
+        self.vocoder_params = vocoder_params
+        self._jitted = functools.lru_cache(maxsize=None)(self._build)
+
+    @classmethod
+    def initialize_random(cls, cfg: PipelineConfig, seed: int = 0,
+                          frames: int = 8) -> "Lip2SpeechPipeline":
+        """Random-weight pipeline (benchmarks / smoke tests)."""
+        rng = jax.random.PRNGKey(seed)
+        r1, r2 = jax.random.split(rng)
+        model = MultiTargetModel(cfg.model)
+        video = jnp.zeros((1, frames, cfg.video.mouth_size, cfg.video.mouth_size, 1))
+        mask = jnp.ones((1, frames), bool)
+        spk = jnp.zeros((1, cfg.model.spk_emb_dim))
+        s1_vars = model.init({"params": r1, "dropout": r1}, video, mask, spk, train=False)
+        vocoder = MelCodeGenerator(cfg.vocoder)
+        code = jnp.zeros((1, 2 * frames), jnp.int32)
+        mel = jnp.zeros((1, 4 * frames, cfg.model.mel_dim))
+        v_vars = vocoder.init({"params": r2}, code, mel, spk, deterministic=True)
+        return cls(cfg, dict(s1_vars), dict(v_vars["params"]))
+
+    def _build(self, _signature=None):
+        """Build the jitted e2e fn (one compile per input signature via jit)."""
+        num_special = self.cfg.model.units.num_special
+
+        def e2e(s1_vars, voc_params, video, frames_mask, spk_emb):
+            out = self.model.apply(s1_vars, video, frames_mask, spk_emb, train=False)
+            units = jnp.argmax(out["unit_logits"][..., num_special:], axis=-1)
+            units = jnp.where(out["mask"], units, 0)           # pad-safe codes
+            wav = self.vocoder.apply({"params": voc_params}, units.astype(jnp.int32),
+                                     out["mel"], spk_emb, deterministic=True)
+            return wav, units, out["mel"], out["mask"]
+
+        return jax.jit(e2e)
+
+    def synthesise_batch(self, video: np.ndarray, frames_mask: np.ndarray,
+                         spk_emb: np.ndarray) -> list[SynthesisResult]:
+        """video: (B, T, 88, 88, 1) normalized; T should be a bucket length."""
+        fn = self._jitted(None)
+        wav, units, mel, mask = fn(self.stage1_variables, self.vocoder_params,
+                                   jnp.asarray(video), jnp.asarray(frames_mask),
+                                   jnp.asarray(spk_emb))
+        wav, units, mel, mask = map(np.asarray, (wav, units, mel, mask))
+        results = []
+        sr = self.cfg.audio.sample_rate
+        # samples per video frame = mel_per_frame (4) x hop (160) = 640 @ 16 kHz
+        spf = self.cfg.model.units.mel_per_frame * self.cfg.audio.hop_length
+        for i in range(video.shape[0]):
+            n = int(frames_mask[i].sum())
+            results.append(SynthesisResult(
+                wav=wav[i, : n * spf],
+                units=units[i, : 2 * n],
+                mel=mel[i, : 4 * n],
+                sample_rate=sr,
+            ))
+        return results
+
+    def synthesise_file(self, video_path: str | Path, spk_emb: np.ndarray,
+                        pad_to_bucket: bool = True) -> SynthesisResult:
+        frames = load_video_gray(video_path)[: self.cfg.video.max_frames]
+        video = prepare_video(frames, self.cfg.video.mouth_size, train=False)
+        n = video.shape[0]
+        t = pick_bucket(n) if pad_to_bucket else n
+        vb = np.zeros((1, t, video.shape[1], video.shape[2], 1), np.float32)
+        vb[0, :n, :, :, 0] = video
+        mask = np.zeros((1, t), bool)
+        mask[0, :n] = True
+        return self.synthesise_batch(vb, mask, spk_emb[None].astype(np.float32))[0]
