@@ -123,11 +123,11 @@ class MultiTargetModel(nn.Module):
         else:
             raise ValueError(f"unknown frontend {fe.kind!r}")
 
-        if cf.input_dim != cf.dim:
-            self.proj_in = Linear(cf.dim)
-        else:
-            self.proj_in = None
-
+        # NOTE: the reference stacks proj_in (frontend_dim -> 512) and the
+        # ESPnet embed Linear (512 -> d) with no nonlinearity between
+        # (model_avhubert.py:216-219 + encoder.py embed); our ConformerEncoder
+        # embed maps frontend_dim -> d directly and the converter folds the
+        # two torch matrices into one.
         self.conformer = ConformerEncoder(
             dim=cf.dim, ffn_dim=cf.ffn_dim, heads=cf.heads, layers=cf.layers,
             dropout=cf.dropout, attention_dropout=cf.attention_dropout,
@@ -172,9 +172,6 @@ class MultiTargetModel(nn.Module):
         # 25 Hz -> 50 Hz
         x = interleave_time(feats, self.cfg.units.units_per_frame)
         mask = interleave_time(frames_mask, self.cfg.units.units_per_frame)
-
-        if self.proj_in is not None:
-            x = self.proj_in(x)
 
         x, _ = self.conformer(x, mask, train=train)
 
