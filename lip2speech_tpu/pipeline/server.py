@@ -1,0 +1,212 @@
+"""HTTP serving gateway — the one-process replacement for the reference's
+five-service mesh (SURVEY.md §3.1: Flask gateway + dlib Docker + decoder
+GPU/CPU + vocoder + Redis, ports 5002-5006).
+
+Everything runs in ONE process: the jitted end-to-end device program plus a
+host-side worker thread consuming an in-process queue (replacing Redis).
+Endpoints mirror the reference API surface:
+
+  GET  /health            — liveness + device info
+  GET  /checkpoints       — available model variants (inference_server.py:229)
+  POST /load_checkpoint   — hot-swap the active pipeline (inference_server.py:152)
+  POST /synthesise        — JSON {video_path, spk_emb_path?} -> wav (base64 or path)
+  POST /vsg/synthesise    — long video: chunk <= 23.5 s, synthesize, concat
+                            (vsg_service.py:37-215 semantics)
+  GET  /stats             — usage DB counters
+
+stdlib http.server (no Flask in this image); requests are serialized through
+a single lock like the reference's global semaphore (server.py:49-50).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+from lip2speech_tpu.core.config import PipelineConfig, preset
+from lip2speech_tpu.pipeline.db import DB
+from lip2speech_tpu.pipeline.synthesise import Lip2SpeechPipeline
+from lip2speech_tpu.utils.audio_io import write_wav
+
+MAX_SEGMENT_S = 23.5     # vsg_service.py:21
+MAX_DURATION_S = 24.0    # config.py:30
+FPS = 25
+
+
+class ServerState:
+    def __init__(self, pipelines: dict[str, Lip2SpeechPipeline],
+                 active: str, db_path: str = ":memory:",
+                 default_spk_emb: np.ndarray | None = None):
+        self.pipelines = pipelines
+        self.active = active
+        self.db = DB(db_path)
+        self.lock = threading.Lock()      # global request serialization
+        self.default_spk_emb = (default_spk_emb if default_spk_emb is not None
+                                else np.zeros(256, np.float32))
+
+    @property
+    def pipeline(self) -> Lip2SpeechPipeline:
+        return self.pipelines[self.active]
+
+
+def _synthesise_frames(state: ServerState, frames: np.ndarray,
+                       spk_emb: np.ndarray) -> np.ndarray:
+    """(T, H, W) uint8 pre-cropped mouth frames -> float32 wav."""
+    from lip2speech_tpu.data.stage1 import pick_bucket
+    from lip2speech_tpu.data.transforms import prepare_video
+
+    cfg = state.pipeline.cfg
+    frames = frames[: int(MAX_DURATION_S * FPS)]
+    video = prepare_video(frames, cfg.video.mouth_size, train=False)
+    n = video.shape[0]
+    t = pick_bucket(n)
+    vb = np.zeros((1, t, video.shape[1], video.shape[2], 1), np.float32)
+    vb[0, :n, :, :, 0] = video
+    mask = np.zeros((1, t), bool)
+    mask[0, :n] = True
+    res = state.pipeline.synthesise_batch(vb, mask, spk_emb[None].astype(np.float32))
+    return res[0].wav
+
+
+def synthesise_long_video(state: ServerState, frames: np.ndarray,
+                          spk_emb: np.ndarray) -> np.ndarray:
+    """VSG path: split into <= 23.5 s segments, synthesize each, concatenate."""
+    seg_frames = int(MAX_SEGMENT_S * FPS)
+    wavs = []
+    for i in range(0, len(frames), seg_frames):
+        chunk = frames[i : i + seg_frames]
+        if len(chunk) == 0:
+            break
+        wavs.append(_synthesise_frames(state, chunk, spk_emb))
+    return np.concatenate(wavs) if wavs else np.zeros(0, np.float32)
+
+
+class Handler(BaseHTTPRequestHandler):
+    state: ServerState = None  # set by make_server
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    def _json(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_body(self) -> dict:
+        length = int(self.headers.get("Content-Length", 0))
+        raw = self.rfile.read(length) if length else b"{}"
+        return json.loads(raw or b"{}")
+
+    def do_GET(self):
+        if self.path == "/health":
+            import jax
+
+            self._json(200, {"status": "ok",
+                             "devices": [str(d) for d in jax.devices()],
+                             "active_checkpoint": self.state.active})
+        elif self.path == "/checkpoints":
+            self._json(200, {"checkpoints": sorted(self.state.pipelines),
+                             "active": self.state.active})
+        elif self.path == "/stats":
+            self._json(200, {"usage_count": self.state.db.usage_count()})
+        else:
+            self._json(404, {"error": "not found"})
+
+    def do_POST(self):
+        try:
+            if self.path == "/load_checkpoint":
+                body = self._read_body()
+                name = body.get("name")
+                if name not in self.state.pipelines:
+                    self._json(400, {"error": f"unknown checkpoint {name!r}",
+                                     "available": sorted(self.state.pipelines)})
+                    return
+                with self.state.lock:
+                    self.state.active = name
+                self._json(200, {"active": name})
+            elif self.path in ("/synthesise", "/vsg/synthesise"):
+                self._handle_synthesise(long_video=self.path.startswith("/vsg"))
+            else:
+                self._json(404, {"error": "not found"})
+        except Exception as e:  # reference: global handler -> 500 (server.py:462)
+            self._json(500, {"error": str(e)})
+
+    def _handle_synthesise(self, long_video: bool):
+        from lip2speech_tpu.data.video_io import load_video_gray
+
+        body = self._read_body()
+        t0 = time.time()
+        frames = load_video_gray(body["video_path"])
+        if "spk_emb_path" in body:
+            spk = np.load(body["spk_emb_path"]).astype(np.float32)
+        else:
+            spk = self.state.default_spk_emb
+
+        with self.state.lock:
+            if long_video:
+                wav = synthesise_long_video(self.state, frames, spk)
+            else:
+                if len(frames) > MAX_DURATION_S * FPS:
+                    self._json(400, {"error":
+                                     f"video longer than {MAX_DURATION_S}s; "
+                                     f"use /vsg/synthesise"})
+                    return
+                wav = _synthesise_frames(self.state, frames, spk)
+
+        elapsed = time.time() - t0
+        self.state.db.log_usage(len(frames) / FPS, elapsed)
+
+        out: dict = {"sample_rate": 16000, "num_samples": int(len(wav)),
+                     "elapsed_s": round(elapsed, 4)}
+        if body.get("output_path"):
+            write_wav(body["output_path"], wav, 16000)
+            out["output_path"] = body["output_path"]
+        else:
+            buf = io.BytesIO()
+            import wave
+
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes((np.clip(wav, -1, 1) * 32767).astype(np.int16).tobytes())
+            out["wav_base64"] = base64.b64encode(buf.getvalue()).decode()
+        self._json(200, out)
+
+
+def make_server(port: int = 5002,
+                pipelines: dict[str, Lip2SpeechPipeline] | None = None,
+                cfg: PipelineConfig | None = None,
+                db_path: str = ":memory:") -> ThreadingHTTPServer:
+    if pipelines is None:
+        cfg = cfg or preset("multi_target")
+        pipelines = {"multi_target": Lip2SpeechPipeline.initialize_random(cfg)}
+    state = ServerState(pipelines, active=sorted(pipelines)[0], db_path=db_path)
+    handler = type("BoundHandler", (Handler,), {"state": state})
+    return ThreadingHTTPServer(("127.0.0.1", port), handler)
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--port", type=int, default=5002)
+    p.add_argument("--db", default="server.db")
+    args = p.parse_args()
+    server = make_server(args.port, db_path=args.db)
+    print(f"serving on :{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Serving gateway tests: real HTTP against the in-process server with a tiny
+random pipeline."""
+
+import base64
+import json
+import threading
+import wave
+from http.client import HTTPConnection
+
+import numpy as np
+import pytest
+
+from lip2speech_tpu.core.config import (
+    ConformerConfig,
+    FrontendConfig,
+    MultiTargetConfig,
+    PipelineConfig,
+    VocoderConfig,
+)
+from lip2speech_tpu.pipeline.db import DB
+from lip2speech_tpu.pipeline.server import make_server
+from lip2speech_tpu.pipeline.synthesise import Lip2SpeechPipeline
+
+TINY = PipelineConfig(
+    model=MultiTargetConfig(
+        frontend=FrontendConfig(kind="resnet3d"),
+        conformer=ConformerConfig(dim=32, ffn_dim=64, heads=2, layers=1, input_dim=512)),
+    vocoder=VocoderConfig(
+        model_in_dim=80 + 2 * 8, embedding_dim=8, upsample_initial_channel=64,
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3, 5),)),
+)
+
+
+@pytest.fixture(scope="module")
+def server():
+    pipes = {"tiny": Lip2SpeechPipeline.initialize_random(TINY, frames=8),
+             "tiny2": Lip2SpeechPipeline.initialize_random(TINY, seed=1, frames=8)}
+    srv = make_server(port=0, pipelines=pipes)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv
+    srv.shutdown()
+
+
+def _req(srv, method, path, body=None):
+    conn = HTTPConnection("127.0.0.1", srv.server_address[1], timeout=300)
+    conn.request(method, path, json.dumps(body) if body else None)
+    resp = conn.getresponse()
+    return resp.status, json.loads(resp.read())
+
+
+def test_health_and_checkpoints(server):
+    code, out = _req(server, "GET", "/health")
+    assert code == 200 and out["status"] == "ok"
+    code, out = _req(server, "GET", "/checkpoints")
+    assert code == 200 and out["checkpoints"] == ["tiny", "tiny2"]
+
+
+def test_checkpoint_hot_swap(server):
+    code, out = _req(server, "POST", "/load_checkpoint", {"name": "tiny2"})
+    assert code == 200 and out["active"] == "tiny2"
+    code, out = _req(server, "POST", "/load_checkpoint", {"name": "nope"})
+    assert code == 400
+    _req(server, "POST", "/load_checkpoint", {"name": "tiny"})
+
+
+def test_synthesise_endpoint(server, tmp_path):
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (30, 96, 96), dtype=np.uint8)
+    np.save(tmp_path / "clip.npy", frames)
+
+    code, out = _req(server, "POST", "/synthesise",
+                     {"video_path": str(tmp_path / "clip.npy")})
+    assert code == 200, out
+    assert out["sample_rate"] == 16000
+    assert out["num_samples"] == 30 * 640
+    wav_bytes = base64.b64decode(out["wav_base64"])
+    with wave.open(__import__("io").BytesIO(wav_bytes)) as w:
+        assert w.getframerate() == 16000
+        assert w.getnframes() == out["num_samples"]
+
+    code, out = _req(server, "GET", "/stats")
+    assert out["usage_count"] >= 1
+
+
+def test_vsg_long_video(server, tmp_path):
+    rng = np.random.default_rng(1)
+    # 30 s at 25 fps = 750 frames > 24 s limit
+    frames = rng.integers(0, 256, (750, 96, 96), dtype=np.uint8)
+    np.save(tmp_path / "long.npy", frames)
+
+    code, out = _req(server, "POST", "/synthesise",
+                     {"video_path": str(tmp_path / "long.npy")})
+    assert code == 400  # over the 24 s cap
+
+    code, out = _req(server, "POST", "/vsg/synthesise",
+                     {"video_path": str(tmp_path / "long.npy"),
+                      "output_path": str(tmp_path / "out.wav")})
+    assert code == 200, out
+    assert out["num_samples"] == 750 * 640
+    assert (tmp_path / "out.wav").exists()
+
+
+def test_error_handling(server):
+    code, out = _req(server, "POST", "/synthesise", {"video_path": "/nope.npy"})
+    assert code == 500 and "error" in out
+    code, out = _req(server, "GET", "/nope")
+    assert code == 404
+
+
+def test_db_migrations(tmp_path):
+    db = DB(tmp_path / "test.db")
+    uid = db.log_usage(3.0, 0.5, audio_name="a.wav", transcription="hello")
+    assert uid
+    assert db.usage_count() == 1
+    db.log_vsg_usage(60.0, "user@example.com")
+    db.migrate()  # idempotent
