@@ -1,0 +1,163 @@
+"""Dataset creation CLI.
+
+Rebuild of reference create_dataset.py:34-571 subcommands adapted to this
+framework's host environment (no ffmpeg/dlib baked in — video arrives as
+.npy grayscale sidecars or via an external decode step):
+
+  init       — per-clip prep: mouth-ROI crop from landmarks (.npy, (T,68,2)),
+               mel extraction (Tacotron-style), speaker-embedding copy
+  manifests  — TSV + .unt manifests from the prepared tree
+  vocoder    — stage-2 dir from stage-1 predictions (pred_mel/pred_unit)
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+from lip2speech_tpu.core.config import AudioConfig
+from lip2speech_tpu.data.manifest import (
+    Utterance,
+    read_manifest,
+    write_manifest,
+    write_unit_dictionary,
+    write_units,
+)
+from lip2speech_tpu.data.video_io import load_video_gray, save_video_gray
+from lip2speech_tpu.utils.audio_io import read_wav
+
+
+def extract_mel(wav: np.ndarray, audio: AudioConfig = AudioConfig()) -> np.ndarray:
+    """Tacotron-style dataset mel (create_dataset.py:62-75 semantics)."""
+    from lip2speech_tpu.ops.dsp import mel_spectrogram_dataset
+
+    return np.asarray(mel_spectrogram_dataset(
+        wav[None], audio.sample_rate, audio.n_fft, audio.hop_length,
+        audio.win_length, audio.num_mels, audio.fmin, audio.fmax))[0]
+
+
+def init_sample(video_path: Path, audio_path: Path, out_root: Path, rel_id: str,
+                landmarks_path: Path | None = None,
+                spk_emb_path: Path | None = None,
+                mean_face: np.ndarray | None = None) -> Utterance:
+    """Prepare one utterance into the dataset tree layout
+    (video/ audio/ mel/ spk_emb/ landmark/ — reference config.py:39-49)."""
+    frames = load_video_gray(video_path)
+    if landmarks_path is not None:
+        from lip2speech_tpu.pipeline.mouth_crop import (
+            crop_mouth_sequence, default_mean_face)
+
+        lms = list(np.load(landmarks_path))
+        frames = crop_mouth_sequence(
+            frames, lms, mean_face if mean_face is not None else default_mean_face())
+
+    save_video_gray(out_root / "video" / f"{rel_id}.mp4", frames)
+
+    wav, sr = read_wav(audio_path)
+    if wav.ndim > 1:
+        wav = wav.mean(axis=1)
+    import shutil
+
+    dst_audio = out_root / "audio" / f"{rel_id}.wav"
+    dst_audio.parent.mkdir(parents=True, exist_ok=True)
+    shutil.copyfile(audio_path, dst_audio)
+
+    mel = extract_mel(wav)
+    mel_path = out_root / "mel" / f"{rel_id}.npy"
+    mel_path.parent.mkdir(parents=True, exist_ok=True)
+    np.save(mel_path, mel)
+
+    spk_path = out_root / "spk_emb" / f"{rel_id}.npy"
+    spk_path.parent.mkdir(parents=True, exist_ok=True)
+    if spk_emb_path is not None:
+        np.save(spk_path, np.load(spk_emb_path).astype(np.float32))
+    else:
+        np.save(spk_path, np.zeros(256, np.float32))
+
+    return Utterance(uid=rel_id, video_path=Path("video") / f"{rel_id}.mp4",
+                     audio_path=Path("audio") / f"{rel_id}.wav",
+                     n_frames=len(frames), n_samples=len(wav))
+
+
+def build_manifests(root: Path, split: str, utts: list[Utterance],
+                    unit_rows: list[np.ndarray] | None = None) -> None:
+    """TSV (+ optional .unt + dict) under root/label (create_dataset.py:331-363)."""
+    label = root / "label"
+    write_manifest(label / f"{split}.tsv", root, utts)
+    write_unit_dictionary(label / "dict.unt.txt")
+    if unit_rows is not None:
+        write_units(label / f"{split}.unt", unit_rows)
+    else:
+        # serving placeholder: constant units sized 2x frames (server.py:258-285)
+        write_units(label / f"{split}.unt",
+                    [np.zeros(2 * u.n_frames, np.int32) for u in utts])
+
+
+def setup_vocoder_dir(dataset_root: Path, synthesis_dir: Path, out_root: Path,
+                      split: str = "test") -> None:
+    """Stage-2 input dir from stage-1 predictions (create_dataset.py:366-428):
+    copy audio/spk_emb trees, swap mel -> pred_mel and units -> pred_unit."""
+    import shutil
+
+    utts = read_manifest(dataset_root / "label" / f"{split}.tsv",
+                         root_override=dataset_root)
+    out_root.mkdir(parents=True, exist_ok=True)
+    rows = []
+    kept = []
+    for u in utts:
+        pred_mel = synthesis_dir / "pred_mel" / f"{u.uid}.npy"
+        pred_unit = synthesis_dir / "pred_unit" / f"{u.uid}.txt"
+        if not (pred_mel.exists() and pred_unit.exists()):
+            continue
+        for src, sub in [(u.audio_path, "audio"), (u.spk_emb_path, "spk_emb")]:
+            dst = out_root / sub / (u.uid + src.suffix)
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copyfile(src, dst)
+        mel_dst = out_root / "mel" / f"{u.uid}.npy"
+        mel_dst.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copyfile(pred_mel, mel_dst)
+        rows.append(np.array([int(x) for x in pred_unit.read_text().split()],
+                             np.int32))
+        kept.append(Utterance(u.uid, Path("video") / f"{u.uid}.mp4",
+                              Path("audio") / f"{u.uid}.wav",
+                              u.n_frames, u.n_samples))
+    build_manifests(out_root, split, kept, rows)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    p_init = sub.add_parser("init")
+    p_init.add_argument("--videos", nargs="+", required=True)
+    p_init.add_argument("--audios", nargs="+", required=True)
+    p_init.add_argument("--out-root", required=True)
+    p_init.add_argument("--split", default="test")
+
+    p_man = sub.add_parser("manifests")
+    p_man.add_argument("--root", required=True)
+    p_man.add_argument("--split", default="test")
+
+    p_voc = sub.add_parser("vocoder")
+    p_voc.add_argument("--dataset-root", required=True)
+    p_voc.add_argument("--synthesis-dir", required=True)
+    p_voc.add_argument("--out-root", required=True)
+    p_voc.add_argument("--split", default="test")
+
+    args = p.parse_args()
+    if args.cmd == "init":
+        out_root = Path(args.out_root)
+        utts = []
+        for i, (v, a) in enumerate(zip(args.videos, args.audios)):
+            utts.append(init_sample(Path(v), Path(a), out_root,
+                                    f"{args.split}/clip/{i:05d}"))
+        build_manifests(out_root, args.split, utts)
+    elif args.cmd == "vocoder":
+        setup_vocoder_dir(Path(args.dataset_root), Path(args.synthesis_dir),
+                          Path(args.out_root), args.split)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Stage-1 training CLI (fairseq-hydra-train replacement).
+
+Reference flow: train.sh -> fairseq-hydra-train --config-name multi_target*
+(SURVEY.md §3.2). Here: one process, pjit DP over all local devices, grad
+accumulation update_freq, best-accuracy checkpointing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="multi_target")
+    p.add_argument("--train-tsv", required=True)
+    p.add_argument("--train-unt", required=True)
+    p.add_argument("--valid-tsv")
+    p.add_argument("--valid-unt")
+    p.add_argument("--root")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--max-updates", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--update-freq", type=int, default=None)
+    p.add_argument("--save-interval", type=int, default=1000)
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--seed", type=int, default=1337)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from lip2speech_tpu.core.config import preset, with_overrides
+    from lip2speech_tpu.data.stage1 import Stage1Dataset
+    from lip2speech_tpu.parallel.mesh import fitting_mesh
+    from lip2speech_tpu.train import checkpoint as ckpt
+    from lip2speech_tpu.train import stage1
+
+    cfg = preset(args.preset)
+    overrides = {}
+    if args.max_updates:
+        overrides["stage1.max_updates"] = args.max_updates
+    if args.batch_size:
+        overrides["stage1.batch_size"] = args.batch_size
+    if args.update_freq:
+        overrides["stage1.update_freq"] = args.update_freq
+    if overrides:
+        cfg = with_overrides(cfg, overrides)
+
+    ds = Stage1Dataset(args.train_tsv, args.train_unt, root_override=args.root,
+                       train=True, random_erase=True, time_mask=True,
+                       seed=args.seed)
+    mesh = fitting_mesh(cfg.stage1.batch_size)
+    print(f"devices: {jax.device_count()}, mesh: {mesh.shape}")
+
+    # init from one micro-batch
+    first = next(ds.batches(cfg.stage1.batch_size, shuffle=True))
+    model, tx, state = stage1.create_train_state(cfg, jax.random.PRNGKey(args.seed), first)
+    step_fn = stage1.make_train_step(model, tx, cfg, mesh)
+
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"params: {n_params / 1e6:.1f}M")
+
+    ckpt_dir = Path(args.checkpoint_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    best_acc = -1.0
+    rng = jax.random.PRNGKey(args.seed)
+    update = 0
+    t0 = time.time()
+    while update < cfg.stage1.max_updates:
+        micro_batches = []
+        for batch in ds.batches(cfg.stage1.batch_size, shuffle=True):
+            micro_batches.append(batch)
+            if len(micro_batches) == cfg.stage1.update_freq:
+                # pad micro-batches to a common bucket for stacking
+                t = max(b["video"].shape[1] for b in micro_batches)
+                bsz = min(b["video"].shape[0] for b in micro_batches)
+                stacked = {}
+                for k in micro_batches[0]:
+                    if k == "ids":
+                        continue
+                    parts = []
+                    for b in micro_batches:
+                        a = b[k][:bsz]
+                        pad = [(0, 0)] * a.ndim
+                        if k == "video":
+                            pad[1] = (0, t - a.shape[1])
+                        elif k == "frames_mask":
+                            pad[1] = (0, t - a.shape[1])
+                        elif k == "unit_tokens":
+                            pad[1] = (0, 2 * t + 1 - a.shape[1])
+                        elif k == "mel":
+                            pad[1] = (0, 4 * t - a.shape[1])
+                        a = np.pad(a, pad, constant_values=(
+                            1 if k == "unit_tokens" else 0))
+                        parts.append(a)
+                    stacked[k] = np.stack(parts)
+                state, logs = step_fn(state, stacked,
+                                      jax.random.fold_in(rng, update))
+                update += 1
+                micro_batches = []
+                if update % args.log_interval == 0:
+                    acc = float(logs["n_correct"]) / max(float(logs["total"]), 1)
+                    print(json.dumps({
+                        "update": update,
+                        "loss": round(float(logs["loss"]), 3),
+                        "nll": round(float(logs["nll_loss"]), 3),
+                        "mel": round(float(logs["mel_loss"]), 3),
+                        "acc": round(acc, 4),
+                        "ups": round(update / (time.time() - t0), 3),
+                    }))
+                if update % args.save_interval == 0:
+                    acc = float(logs["n_correct"]) / max(float(logs["total"]), 1)
+                    ckpt.save_stage1(ckpt_dir, state, update)
+                    if acc > best_acc:  # best-accuracy policy like the reference
+                        best_acc = acc
+                        ckpt.save_stage1(ckpt_dir, state, 0)  # s1_00000000 = best
+                if update >= cfg.stage1.max_updates:
+                    break
+    ckpt.save_stage1(ckpt_dir, state, update)
+    print(f"done: {update} updates in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

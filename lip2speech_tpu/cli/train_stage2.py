@@ -1,0 +1,89 @@
+"""Stage-2 (vocoder) GAN training CLI.
+
+Reference flow: multi_input_vocoder/train.py (SURVEY.md §3.3): epoch loop,
+0.56 s segments, D then G step, g_/do_ checkpoints every 10k steps,
+validation mel-L1 every 1k, per-epoch ExponentialLR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--train-tsv", required=True)
+    p.add_argument("--train-unt", required=True)
+    p.add_argument("--valid-tsv")
+    p.add_argument("--valid-unt")
+    p.add_argument("--root")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--mel-aug", action="store_true",
+                   help="Gaussian blur+noise on input mels (the 'aug' config)")
+    p.add_argument("--checkpoint-interval", type=int, default=10_000)
+    p.add_argument("--validation-interval", type=int, default=1_000)
+    p.add_argument("--log-interval", type=int, default=50)
+    args = p.parse_args(argv)
+
+    import jax
+
+    from lip2speech_tpu.core.config import preset, with_overrides
+    from lip2speech_tpu.data.stage2 import Stage2Dataset
+    from lip2speech_tpu.parallel.mesh import fitting_mesh
+    from lip2speech_tpu.train import checkpoint as ckpt
+    from lip2speech_tpu.train import stage2
+
+    cfg = preset("multi_target")
+    if args.batch_size:
+        cfg = with_overrides(cfg, {"stage2.batch_size": args.batch_size})
+
+    ds = Stage2Dataset(args.train_tsv, args.train_unt, cfg.vocoder,
+                       root_override=args.root, train=True, mel_aug=args.mel_aug)
+    val_ds = None
+    if args.valid_tsv:
+        val_ds = Stage2Dataset(args.valid_tsv, args.valid_unt, cfg.vocoder,
+                               root_override=args.root, train=False)
+
+    mesh = fitting_mesh(cfg.stage2.batch_size)
+    first = next(ds.batches(cfg.stage2.batch_size))
+    first = {k: v for k, v in first.items() if k != "ids"}
+    models, txs, state = stage2.create_gan_state(cfg, jax.random.PRNGKey(cfg.stage2.seed), first)
+    step_fn = stage2.make_gan_step(models, txs, cfg, mesh)
+
+    ckpt_dir = Path(args.checkpoint_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    rng = jax.random.PRNGKey(cfg.stage2.seed)
+    steps = 0
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        for batch in ds.batches(cfg.stage2.batch_size):
+            batch = {k: v for k, v in batch.items() if k != "ids"}
+            state, logs = step_fn(state, batch, jax.random.fold_in(rng, steps))
+            steps += 1
+            if steps % args.log_interval == 0:
+                print(json.dumps({
+                    "epoch": epoch, "step": steps,
+                    "loss_gen": round(float(logs["loss_gen"]), 3),
+                    "loss_disc": round(float(logs["loss_disc"]), 3),
+                    "mel_l1": round(float(logs["loss_mel"]), 4),
+                    "sps": round(steps / (time.time() - t0), 2),
+                }))
+            if steps % args.checkpoint_interval == 0:
+                ckpt.save_stage2(ckpt_dir, state, steps)
+            if val_ds is not None and steps % args.validation_interval == 0:
+                vb = next(val_ds.batches(cfg.stage2.batch_size, shuffle=False))
+                vb = {k: v for k, v in vb.items() if k != "ids"}
+                val = stage2.validation_mel_l1(models[0], state.gen_params, vb, cfg)
+                print(json.dumps({"step": steps, "val_mel_l1": round(float(val), 4)}))
+        state = stage2.next_epoch(state)
+    ckpt.save_stage2(ckpt_dir, state, steps)
+    print(f"done: {steps} steps, {args.epochs} epochs")
+
+
+if __name__ == "__main__":
+    main()

@@ -286,6 +286,17 @@ def preset(name: str) -> PipelineConfig:
     presets = {
         # reference model.py:66-228 (conformer w/ built-in resnet3d frontend)
         "multi_target": {},
+        # tiny variant for smoke tests / CI (not a reference config)
+        "tiny": {
+            "model.conformer": ConformerConfig(dim=32, ffn_dim=64, heads=2,
+                                               layers=1, input_dim=512),
+            "vocoder": VocoderConfig(
+                model_in_dim=80 + 2 * 8, embedding_dim=8,
+                upsample_initial_channel=64,
+                resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3, 5),)),
+            "stage1": Stage1TrainConfig(update_freq=1, batch_size=2,
+                                        warmup_updates=2, max_updates=4),
+        },
         # reference model_avhubert.py:27-155 (frozen AV-HuBERT large frontend)
         "multi_target_avhubert": {
             "model.frontend": FrontendConfig(

@@ -42,6 +42,20 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def fitting_mesh(batch_size: int, model: int = 1,
+                 devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """Mesh whose data axis is the largest divisor of batch_size that fits the
+    available devices (so batch sharding is always valid)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices) // model
+    data = 1
+    for d in range(min(batch_size, n), 0, -1):
+        if batch_size % d == 0:
+            data = d
+            break
+    return make_mesh(data=data, model=model, devices=devices[: data * model])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -42,8 +42,8 @@ def lr_schedule(cfg: Stage1TrainConfig):
     return optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=cfg.lr,
-        warmup_steps=cfg.warmup_updates,
-        decay_steps=cfg.max_updates,
+        warmup_steps=min(cfg.warmup_updates, max(cfg.max_updates - 1, 1)),
+        decay_steps=max(cfg.max_updates, cfg.warmup_updates + 1),
         end_value=cfg.lr * 1e-3,
     )
 
