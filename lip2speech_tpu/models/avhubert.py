@@ -41,12 +41,22 @@ class SelfAttention(nn.Module):
         q = Linear(d, name="q_proj")(x).reshape(b, t, h, dk)
         k = Linear(d, name="k_proj")(x).reshape(b, t, h, dk)
         v = Linear(d, name="v_proj")(x).reshape(b, t, h, dk)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dk)
-        if mask is not None:
-            scores = jnp.where(mask[:, None, None, :], scores, -1e9)
-        attn = jax.nn.softmax(scores, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
+        if deterministic or self.dropout == 0.0:
+            # flash-attention Pallas kernel on TPU (no attn-dropout path);
+            # jnp oracle elsewhere
+            from lip2speech_tpu.ops.pallas_attention import attention
+
+            key_mask = mask if mask is not None else jnp.ones((b, t), bool)
+            out = attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                            v.transpose(0, 2, 1, 3), key_mask)
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dk)
+            if mask is not None:
+                scores = jnp.where(mask[:, None, None, :], scores, -1e9)
+            attn = jax.nn.softmax(scores, axis=-1)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
         return Linear(d, name="out_proj")(out)
 
 
