@@ -126,6 +126,36 @@ def setup_vocoder_dir(dataset_root: Path, synthesis_dir: Path, out_root: Path,
     build_manifests(out_root, split, kept, rows)
 
 
+def combine_datasets(roots: list[Path], out_root: Path, split: str) -> None:
+    """Symlink-merge multiple dataset trees + concatenated manifests
+    (reference create_dataset.py 'combine' subcommand)."""
+    import os
+
+    all_utts: list[Utterance] = []
+    all_units: list[np.ndarray] = []
+    for d_idx, root in enumerate(roots):
+        utts = read_manifest(root / "label" / f"{split}.tsv",
+                             root / "label" / f"{split}.unt",
+                             root_override=root)
+        for u in utts:
+            new_id = f"{split}/d{d_idx}/{u.uid.replace('/', '_')}"
+            for src, sub in [(u.video_path, "video"), (u.audio_path, "audio"),
+                             (u.mel_path, "mel"), (u.spk_emb_path, "spk_emb")]:
+                # video may only exist as a .npy sidecar
+                candidates = [src, src.with_suffix(".npy")]
+                for cand in candidates:
+                    if cand.exists():
+                        dst = out_root / sub / (new_id + cand.suffix)
+                        dst.parent.mkdir(parents=True, exist_ok=True)
+                        if not dst.exists():
+                            os.symlink(cand.resolve(), dst)
+            all_utts.append(Utterance(new_id, Path("video") / f"{new_id}.mp4",
+                                      Path("audio") / f"{new_id}.wav",
+                                      u.n_frames, u.n_samples))
+            all_units.append(u.units)
+    build_manifests(out_root, split, all_utts, all_units)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -146,6 +176,11 @@ def main():
     p_voc.add_argument("--out-root", required=True)
     p_voc.add_argument("--split", default="test")
 
+    p_comb = sub.add_parser("combine")
+    p_comb.add_argument("--roots", nargs="+", required=True)
+    p_comb.add_argument("--out-root", required=True)
+    p_comb.add_argument("--split", default="train")
+
     args = p.parse_args()
     if args.cmd == "init":
         out_root = Path(args.out_root)
@@ -157,6 +192,9 @@ def main():
     elif args.cmd == "vocoder":
         setup_vocoder_dir(Path(args.dataset_root), Path(args.synthesis_dir),
                           Path(args.out_root), args.split)
+    elif args.cmd == "combine":
+        combine_datasets([Path(r) for r in args.roots], Path(args.out_root),
+                         args.split)
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ from pathlib import Path
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="multi_target")
     p.add_argument("--train-tsv", required=True)
     p.add_argument("--train-unt", required=True)
     p.add_argument("--valid-tsv")
@@ -38,7 +39,7 @@ def main(argv=None):
     from lip2speech_tpu.train import checkpoint as ckpt
     from lip2speech_tpu.train import stage2
 
-    cfg = preset("multi_target")
+    cfg = preset(args.preset)
     if args.batch_size:
         cfg = with_overrides(cfg, {"stage2.batch_size": args.batch_size})
 
