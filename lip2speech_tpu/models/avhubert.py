@@ -51,7 +51,7 @@ class SelfAttention(nn.Module):
                             v.transpose(0, 2, 1, 3), key_mask)
             out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         else:
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dk)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / float(np.sqrt(dk))
             if mask is not None:
                 scores = jnp.where(mask[:, None, None, :], scores, -1e9)
             attn = jax.nn.softmax(scores, axis=-1)

@@ -74,7 +74,7 @@ class RelPositionMultiHeadAttention(nn.Module):
         matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k_t)
         matrix_bd = jnp.einsum("bhqd,phd->bhqp", q_v, p)
         matrix_bd = rel_shift(matrix_bd)
-        scores = (matrix_ac + matrix_bd) / np.sqrt(dk)
+        scores = (matrix_ac + matrix_bd) / float(np.sqrt(dk))
 
         if mask is not None:
             m = mask[:, None, None, :]                        # (B,1,1,T) key mask
@@ -239,9 +239,9 @@ class ConformerEncoder(nn.Module):
         t = x.shape[1]
         pe = ops.sinusoidal_rel_pos_encoding(t, self.dim)
         if not self.vanilla_linear:
-            x = x * np.sqrt(self.dim)
+            x = x * float(np.sqrt(self.dim))
         x = nn.Dropout(self.positional_dropout)(x, deterministic=det)
-        pos_emb = nn.Dropout(self.positional_dropout)(jnp.asarray(pe), deterministic=det)
+        pos_emb = nn.Dropout(self.positional_dropout)(jnp.asarray(pe, dtype=x.dtype), deterministic=det)
 
         for i in range(self.layers):
             x = ConformerLayer(

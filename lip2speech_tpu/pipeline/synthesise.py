@@ -48,12 +48,17 @@ class Lip2SpeechPipeline:
         cfg: PipelineConfig,
         stage1_variables: dict[str, Any],
         vocoder_params: dict[str, Any],
+        compute_dtype: Any = None,
     ):
+        """compute_dtype=jnp.bfloat16 casts weights + activations for the
+        serving path (HBM-bandwidth win on TPU); logits/softmax/norms stay in
+        the op-local precision rules, output wav is float32 either way."""
         self.cfg = cfg
         self.model = MultiTargetModel(cfg.model)
         self.vocoder = MelCodeGenerator(cfg.vocoder)
         self.stage1_variables = stage1_variables
         self.vocoder_params = vocoder_params
+        self.compute_dtype = compute_dtype
         self._jitted = functools.lru_cache(maxsize=None)(self._build)
 
     @classmethod
@@ -76,14 +81,21 @@ class Lip2SpeechPipeline:
     def _build(self, _signature=None):
         """Build the jitted e2e fn (one compile per input signature via jit)."""
         num_special = self.cfg.model.units.num_special
+        cdt = self.compute_dtype
 
         def e2e(s1_vars, voc_params, video, frames_mask, spk_emb):
+            if cdt is not None:
+                cast = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                    lambda x: x.astype(cdt) if x.dtype == jnp.float32 else x, t)
+                s1_vars, voc_params = cast(s1_vars), cast(voc_params)
+                video, spk_emb = video.astype(cdt), spk_emb.astype(cdt)
             out = self.model.apply(s1_vars, video, frames_mask, spk_emb, train=False)
             units = jnp.argmax(out["unit_logits"][..., num_special:], axis=-1)
             units = jnp.where(out["mask"], units, 0)           # pad-safe codes
             wav = self.vocoder.apply({"params": voc_params}, units.astype(jnp.int32),
                                      out["mel"], spk_emb, deterministic=True)
-            return wav, units, out["mel"], out["mask"]
+            return (wav.astype(jnp.float32), units,
+                    out["mel"].astype(jnp.float32), out["mask"])
 
         return jax.jit(e2e)
 
