@@ -30,6 +30,8 @@ def run_inference(
     results_path: str | Path,
     batch_size: int = 4,
     root_override=None,
+    suppress_crashes: bool = False,
+    prefetch_depth: int = 3,
 ) -> dict:
     import jax
     import jax.numpy as jnp
@@ -51,13 +53,23 @@ def run_inference(
     result = {"utt_id": [], "ref": [], "hypo": []}
     refs = {u.uid: u.units for u in ds.utts}
 
+    from lip2speech_tpu.data.prefetch import prefetch
+
     t0 = time.time()
     n_tokens = 0
-    for batch in ds.batches(batch_size):
-        units, mel, mask = forward(variables, jnp.asarray(batch["video"]),
-                                   jnp.asarray(batch["frames_mask"]),
-                                   jnp.asarray(batch["spk_emb"]))
-        units, mel, mask = map(np.asarray, (units, mel, mask))
+    n_failed = 0
+    for batch in prefetch(ds.batches(batch_size), depth=prefetch_depth):
+        try:
+            units, mel, mask = forward(variables, jnp.asarray(batch["video"]),
+                                       jnp.asarray(batch["frames_mask"]),
+                                       jnp.asarray(batch["spk_emb"]))
+            units, mel, mask = map(np.asarray, (units, mel, mask))
+        except Exception:
+            # reference suppress_crashes flag (inference.py:340-344)
+            if not suppress_crashes:
+                raise
+            n_failed += len(batch["ids"])
+            continue
         for i, uid in enumerate(batch["ids"]):
             n = int(batch["frames_mask"][i].sum())
             hypo_units = units[i][: 2 * n]
@@ -93,7 +105,8 @@ def run_inference(
         f"WER: {wer}\nAccuracy: {accuracy}\n"
         f"err / num_ref_words = {n_err} / {n_total}\n\n")
     return {"wer": wer, "accuracy": accuracy, "n_utts": len(result["utt_id"]),
-            "elapsed_s": elapsed, "tokens_per_s": n_tokens / max(elapsed, 1e-9)}
+            "n_failed": n_failed, "elapsed_s": elapsed,
+            "tokens_per_s": n_tokens / max(elapsed, 1e-9)}
 
 
 def main():
