@@ -155,8 +155,12 @@ def convert_resnet3d(sd: SD, p: str, prelu: bool) -> tuple[dict, dict]:
 
 def convert_conformer_layers(sd: SD, p: str, n_layers: int,
                              macaron: bool = True, use_conv: bool = True,
-                             layerscale: bool = False) -> tuple[dict, dict]:
-    """ESPnet `encoders.N.*` (+ after_norm/embed handled by caller)."""
+                             layerscale: bool = False,
+                             ff_bn_pre: bool = False) -> tuple[dict, dict]:
+    """ESPnet `encoders.N.*` (+ after_norm/embed handled by caller).
+
+    ff_bn_pre (RAVEn): the FFN pre-norms are BatchNorm1d with running stats.
+    """
     params: dict = {}
     stats: dict = {}
     for i in range(n_layers):
@@ -173,14 +177,24 @@ def convert_conformer_layers(sd: SD, p: str, n_layers: int,
             },
             "feed_forward": {"w_1": _lin(sd, f"{lp}.feed_forward.w_1"),
                              "w_2": _lin(sd, f"{lp}.feed_forward.w_2")},
-            "norm_ff": _ln(sd, f"{lp}.norm_ff"),
             "norm_mha": _ln(sd, f"{lp}.norm_mha"),
         }
+        layer_stats: dict = {}
+        if ff_bn_pre:
+            layer["norm_ff"], layer_stats["norm_ff"] = _bn(sd, f"{lp}.norm_ff")
+        else:
+            layer["norm_ff"] = _ln(sd, f"{lp}.norm_ff")
         if macaron:
             layer["feed_forward_macaron"] = {
                 "w_1": _lin(sd, f"{lp}.feed_forward_macaron.w_1"),
                 "w_2": _lin(sd, f"{lp}.feed_forward_macaron.w_2")}
-            layer["norm_ff_macaron"] = _ln(sd, f"{lp}.norm_ff_macaron")
+            if ff_bn_pre:
+                layer["norm_ff_macaron"], layer_stats["norm_ff_macaron"] = _bn(
+                    sd, f"{lp}.norm_ff_macaron")
+            else:
+                layer["norm_ff_macaron"] = _ln(sd, f"{lp}.norm_ff_macaron")
+        if layer_stats:
+            stats[f"layers_{i}"] = layer_stats
         if use_conv:
             # NOTE: the vendored ESPnet misspells "pointwise_cov{1,2}"
             layer["conv_module"] = {
@@ -189,19 +203,22 @@ def convert_conformer_layers(sd: SD, p: str, n_layers: int,
                 "pointwise_conv2": _conv1d(sd, f"{lp}.conv_module.pointwise_cov2"),
                 "norm": _bn(sd, f"{lp}.conv_module.norm")[0],
             }
-            stats[f"layers_{i}"] = {"conv_module": {
-                "norm": _bn(sd, f"{lp}.conv_module.norm")[1]}}
-            layer["norm_conv"] = _ln(sd, f"{lp}.norm_conv")
-            layer["norm_final"] = _ln(sd, f"{lp}.norm_final")
+            layer_stats.setdefault("conv_module", {})["norm"] = _bn(
+                sd, f"{lp}.conv_module.norm")[1]
+            stats[f"layers_{i}"] = layer_stats
+            if ff_bn_pre:
+                layer["norm_conv"], layer_stats["norm_conv"] = _bn(sd, f"{lp}.norm_conv")
+            else:
+                layer["norm_conv"] = _ln(sd, f"{lp}.norm_conv")
+            if f"{lp}.norm_final.weight" in sd:  # absent when post_norm=False
+                layer["norm_final"] = _ln(sd, f"{lp}.norm_final")
         if layerscale:
-            # raven layerscale gammas (gamma_{ff,mha,conv,ff_macaron})
-            for ours, theirs in [("gamma_ff", "layer_scale_ff"),
-                                 ("gamma_mha", "layer_scale_mha"),
-                                 ("gamma_ff_macaron", "layer_scale_ff_macaron"),
-                                 ("gamma_conv", "layer_scale_conv")]:
-                key = f"{lp}.{theirs}.gamma"
+            # raven layerscale gammas live directly on the layer
+            # (raven/_espnet encoder_layer.py:113-127)
+            for name in ["gamma_ff", "gamma_mha", "gamma_ff_macaron", "gamma_conv"]:
+                key = f"{lp}.{name}"
                 if key in sd:
-                    layer[ours] = sd[key]
+                    layer[name] = sd[key]
         params[f"layers_{i}"] = layer
     return params, stats
 
@@ -296,7 +313,7 @@ def convert_multi_target(sd: SD, cfg: MultiTargetConfig) -> dict[str, Any]:
         fe_enc_p, fe_enc_s = convert_conformer_layers(
             sd, "encoder.encoder.", cfg.frontend.encoder_layers,
             macaron=(kind == "auto_avsr"), use_conv=(kind == "auto_avsr"),
-            layerscale=(kind == "raven"))
+            layerscale=(kind == "raven"), ff_bn_pre=(kind == "raven"))
         fe_enc_p["embed"] = _lin(sd, "encoder.encoder.embed.0")
         fe_enc_p["after_norm"] = _ln(sd, "encoder.encoder.after_norm")
         params["frontend_encoder"] = fe_enc_p

@@ -152,12 +152,19 @@ class ConformerLayer(nn.Module):
     layerscale: bool = False
     init_values: float = 0.1
     drop_path: float = 0.0
+    ff_bn_pre: bool = False   # RAVEn: FFN pre-norms are BatchNorm1d, not LN
+                              # (raven/_espnet encoder_layer.py:88-101)
 
     def _scale(self, name):
         if not self.layerscale:
             return 1.0
         return self.param(name, lambda k, s: jnp.full(s, self.init_values, jnp.float32),
                           (self.dim,))
+
+    def _ff_norm(self, name, x, train):
+        if self.ff_bn_pre:
+            return BatchNorm(self.dim, name=name)(x, train)
+        return LayerNorm(self.dim, name=name)(x)
 
     @nn.compact
     def __call__(self, x, pos_emb, mask, train: bool = False):
@@ -167,11 +174,11 @@ class ConformerLayer(nn.Module):
 
         if self.macaron:
             residual = x
-            y = LayerNorm(self.dim, name="norm_ff_macaron")(x) if self.normalize_before else x
+            y = self._ff_norm("norm_ff_macaron", x, train) if self.normalize_before else x
             y = FeedForward(self.dim, self.ffn_dim, self.dropout, name="feed_forward_macaron")(y, det)
             x = residual + dpath(0.5 * self._scale("gamma_ff_macaron") * drop(y, deterministic=det), det)
             if not self.normalize_before:
-                x = LayerNorm(self.dim, name="norm_ff_macaron")(x)
+                x = self._ff_norm("norm_ff_macaron", x, train)
 
         residual = x
         y = LayerNorm(self.dim, name="norm_mha")(x) if self.normalize_before else x
@@ -183,19 +190,19 @@ class ConformerLayer(nn.Module):
 
         if self.use_conv:
             residual = x
-            y = LayerNorm(self.dim, name="norm_conv")(x) if self.normalize_before else x
+            y = self._ff_norm("norm_conv", x, train) if self.normalize_before else x
             y = ConvModule(self.dim, self.conv_kernel, name="conv_module")(y, train)
             x = residual + dpath(self._scale("gamma_conv") * drop(y, deterministic=det), det)
             if not self.normalize_before:
-                x = LayerNorm(self.dim, name="norm_conv")(x)
+                x = self._ff_norm("norm_conv", x, train)
 
         residual = x
-        y = LayerNorm(self.dim, name="norm_ff")(x) if self.normalize_before else x
+        y = self._ff_norm("norm_ff", x, train) if self.normalize_before else x
         y = FeedForward(self.dim, self.ffn_dim, self.dropout, name="feed_forward")(y, det)
         ff_scale = 0.5 if self.macaron else 1.0
         x = residual + dpath(ff_scale * self._scale("gamma_ff") * drop(y, deterministic=det), det)
         if not self.normalize_before:
-            x = LayerNorm(self.dim, name="norm_ff")(x)
+            x = self._ff_norm("norm_ff", x, train)
 
         if self.use_conv:
             x = LayerNorm(self.dim, name="norm_final")(x)
@@ -225,7 +232,7 @@ class ConformerEncoder(nn.Module):
     layerscale: bool = False
     init_values: float = 0.1
     drop_path: float = 0.0
-    vanilla_linear: bool = False   # RAVEn: embed without sqrt(d) pos-scaling
+    ff_bn_pre: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False, embed_input: bool = True):
@@ -238,8 +245,7 @@ class ConformerEncoder(nn.Module):
             x = Linear(self.dim, name="embed")(x)
         t = x.shape[1]
         pe = ops.sinusoidal_rel_pos_encoding(t, self.dim)
-        if not self.vanilla_linear:
-            x = x * float(np.sqrt(self.dim))
+        x = x * float(np.sqrt(self.dim))
         x = nn.Dropout(self.positional_dropout)(x, deterministic=det)
         pos_emb = nn.Dropout(self.positional_dropout)(jnp.asarray(pe, dtype=x.dtype), deterministic=det)
 
@@ -251,6 +257,7 @@ class ConformerEncoder(nn.Module):
                 use_conv=self.use_conv, normalize_before=self.normalize_before,
                 layerscale=self.layerscale, init_values=self.init_values,
                 drop_path=self.drop_path * i / max(self.layers - 1, 1),
+                ff_bn_pre=self.ff_bn_pre,
                 name=f"layers_{i}",
             )(x, pos_emb, mask, train)
 

@@ -113,13 +113,14 @@ class MultiTargetModel(nn.Module):
                 dim=fe.encoder_dim, heads=fe.encoder_heads, ffn_dim=fe.encoder_ffn_dim,
                 layers=fe.encoder_layers, macaron=True, use_conv=True)
         elif fe.kind == "raven":
-            # RAVEn: resnet3d frontend + transformer (no macaron/conv) with
-            # layerscale + drop-path, vanilla_linear input (model_raven.py:107-132)
+            # RAVEn: resnet3d frontend + rel-MHA transformer (no macaron/conv)
+            # with layerscale, drop-path 0.1, and BatchNorm FFN pre-norms
+            # (model_raven.py:107-132: ff_bn_pre=True, post_norm=False)
             self.frontend_resnet = ResNet3DFrontend(relu_type="swish")
             self.frontend_encoder = ConformerEncoder(
                 dim=fe.encoder_dim, heads=fe.encoder_heads, ffn_dim=fe.encoder_ffn_dim,
                 layers=fe.encoder_layers, macaron=False, use_conv=False,
-                layerscale=True, drop_path=0.1, vanilla_linear=True)
+                layerscale=True, drop_path=0.1, ff_bn_pre=True)
         else:
             raise ValueError(f"unknown frontend {fe.kind!r}")
 
