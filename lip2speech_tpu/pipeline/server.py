@@ -43,13 +43,17 @@ FPS = 25
 class ServerState:
     def __init__(self, pipelines: dict[str, Lip2SpeechPipeline],
                  active: str, db_path: str = ":memory:",
-                 default_spk_emb: np.ndarray | None = None):
+                 default_spk_emb: np.ndarray | None = None,
+                 speaker_params: dict | None = None):
         self.pipelines = pipelines
         self.active = active
         self.db = DB(db_path)
         self.lock = threading.Lock()      # global request serialization
         self.default_spk_emb = (default_spk_emb if default_spk_emb is not None
                                 else np.zeros(256, np.float32))
+        # in-process GE2E d-vector encoder replacing the reference's
+        # speaker-embedding HTTP sidecar (helpers.py:185-198)
+        self.speaker_params = speaker_params
 
     @property
     def pipeline(self) -> Lip2SpeechPipeline:
@@ -147,8 +151,23 @@ class Handler(BaseHTTPRequestHandler):
         body = self._read_body()
         t0 = time.time()
         frames = load_video_gray(body["video_path"])
+        if "landmarks_path" in body:
+            # raw (uncropped) video + landmarks: crop the mouth ROI in-process
+            from lip2speech_tpu.pipeline.landmarks import (
+                PrecomputedLandmarks, extract_mouth_video)
+
+            frames = extract_mouth_video(
+                frames, PrecomputedLandmarks(body["landmarks_path"]))
         if "spk_emb_path" in body:
             spk = np.load(body["spk_emb_path"]).astype(np.float32)
+        elif "spk_wav_path" in body and self.state.speaker_params is not None:
+            from lip2speech_tpu.models.speaker import embed_utterance
+            from lip2speech_tpu.utils.audio_io import read_wav
+
+            wav, sr = read_wav(body["spk_wav_path"])
+            if wav.ndim > 1:
+                wav = wav.mean(axis=1)
+            spk = embed_utterance(self.state.speaker_params, wav, sr)
         else:
             spk = self.state.default_spk_emb
 
