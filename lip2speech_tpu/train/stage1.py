@@ -76,7 +76,11 @@ def make_optimizer(cfg: Stage1TrainConfig, params, frontend_frozen: bool):
         {"train": base, "frozen": optax.set_to_zero()}, labels)
 
 
-def create_train_state(cfg: PipelineConfig, rng: jax.Array, sample_batch: dict):
+def create_train_state(cfg: PipelineConfig, rng: jax.Array, sample_batch: dict,
+                       mesh=None):
+    """When a mesh with a model axis > 1 is given, transformer FFN/attention
+    weights are tensor-parallel sharded (parallel/sharding_rules.py); the
+    optimizer state inherits the same shardings elementwise."""
     model = MultiTargetModel(cfg.model)
     init_rng, drop_rng = jax.random.split(rng)
     variables = model.init(
@@ -88,6 +92,10 @@ def create_train_state(cfg: PipelineConfig, rng: jax.Array, sample_batch: dict):
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        from lip2speech_tpu.parallel.sharding_rules import shard_params
+
+        params = shard_params(params, mesh)
     tx = make_optimizer(cfg.stage1, params, cfg.model.frontend.frozen)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        batch_stats=batch_stats, opt_state=tx.init(params))
@@ -151,10 +159,11 @@ def make_train_step(model: MultiTargetModel, tx, cfg: PipelineConfig, mesh=None)
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, DATA_AXIS))  # (accum, batch, ...)
+    # state sharding is left to propagate from the actual inputs (params may
+    # carry tensor-parallel shardings from create_train_state)
     return jax.jit(
         train_step,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(None, data, repl),
         donate_argnums=(0,),
     )
 
