@@ -1,0 +1,67 @@
+"""AV-HuBERT masked pretraining tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from lip2speech_tpu.models.avhubert_pretrain import (
+    AVHubertPretrainModel,
+    mask_video_frames,
+    pretrain_loss,
+)
+from lip2speech_tpu.ops.masking import compute_mask_indices
+
+
+def test_mask_indices_statistics():
+    rng = np.random.default_rng(0)
+    mask = compute_mask_indices((16, 100), None, mask_prob=0.8, mask_length=10,
+                                rng=rng)
+    assert mask.shape == (16, 100)
+    frac = mask.mean()
+    # with-overlap static policy lands near but under mask_prob
+    assert 0.3 < frac < 0.9
+    # respects padding
+    pad = np.zeros((2, 100), bool)
+    pad[1, 50:] = True  # fairseq padding_mask: True = PAD
+    m2 = compute_mask_indices((2, 100), pad, 0.8, 10, rng)
+    assert not m2[1, 50:].any() or m2[1, 50:].sum() < 10  # spans start in valid region
+
+
+def test_pretrain_forward_and_loss_decreases():
+    model = AVHubertPretrainModel(dim=32, heads=2, ffn_dim=64, layers=2,
+                                  final_dim=16, num_classes=12)
+    rng = np.random.default_rng(1)
+    b, t = 2, 10
+    video = jnp.asarray(rng.standard_normal((b, t, 24, 24, 1)).astype(np.float32))
+    frames_mask = jnp.ones((b, t), bool)
+    span = jnp.asarray(compute_mask_indices((b, t), None, 0.5, 3, rng))
+    targets = jnp.asarray(rng.integers(0, 12, (b, t)).astype(np.int32))
+
+    video_masked = mask_video_frames(video, span)
+    assert float(jnp.abs(video_masked[span]).max()) == 0.0
+
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key},
+                           video_masked, frames_mask, span, train=False)
+
+    def loss_fn(params):
+        out = model.apply({"params": params, **{k: v for k, v in variables.items() if k != "params"}},
+                          video_masked, frames_mask, span, train=False)
+        loss, logs = pretrain_loss(out, targets)
+        return loss, logs
+
+    (l0, logs0), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+    assert np.isfinite(float(l0))
+    assert int(logs0["n_masked"]) > 0
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(variables["params"])
+    params = variables["params"]
+    for _ in range(8):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+    (l1, _), _ = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert float(l1) < float(l0)
