@@ -112,7 +112,14 @@ class Handler(BaseHTTPRequestHandler):
         return json.loads(raw or b"{}")
 
     def do_GET(self):
-        if self.path == "/health":
+        if self.path == "/demo":
+            body = DEMO_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/health":
             import jax
 
             self._json(200, {"status": "ok",
@@ -201,6 +208,38 @@ class Handler(BaseHTTPRequestHandler):
                 w.writeframes((np.clip(wav, -1, 1) * 32767).astype(np.int16).tobytes())
             out["wav_base64"] = base64.b64encode(buf.getvalue()).decode()
         self._json(200, out)
+
+
+# Minimal demo page (reference templates/demo.html + vsg.html equivalent):
+# synthesize a server-local clip by path and play the result.
+DEMO_HTML = """<!doctype html>
+<html><head><title>lip2speech-tpu demo</title><style>
+body{font-family:sans-serif;max-width:640px;margin:2em auto}
+input{width:100%%;margin:4px 0;padding:6px}button{padding:8px 16px}
+</style></head><body>
+<h2>lip2speech-tpu</h2>
+<p>Silent mouth-ROI video &rarr; 16 kHz speech, one jitted TPU program.</p>
+<label>Video path (server-local .npy/.mp4)</label><input id="v">
+<label>Speaker wav path (optional)</label><input id="s">
+<label>Landmarks path (optional, raw video)</label><input id="l">
+<button onclick="go()">Synthesise</button>
+<p id="status"></p><audio id="player" controls></audio>
+<script>
+async function go(){
+  const body={video_path:document.getElementById('v').value};
+  const s=document.getElementById('s').value; if(s) body.spk_wav_path=s;
+  const l=document.getElementById('l').value; if(l) body.landmarks_path=l;
+  document.getElementById('status').textContent='synthesising...';
+  const r=await fetch('/synthesise',{method:'POST',body:JSON.stringify(body)});
+  const j=await r.json();
+  if(!r.ok){document.getElementById('status').textContent='error: '+j.error;return;}
+  document.getElementById('status').textContent=
+    j.num_samples+' samples in '+j.elapsed_s+'s';
+  const wav=Uint8Array.from(atob(j.wav_base64),c=>c.charCodeAt(0));
+  document.getElementById('player').src=
+    URL.createObjectURL(new Blob([wav],{type:'audio/wav'}));
+}
+</script></body></html>"""
 
 
 def make_server(port: int = 5002,
