@@ -74,8 +74,12 @@ def write_manifest(tsv_path: str | Path, root: str | Path, utts: list[Utterance]
     rows = [str(root)]
     rootp = Path(root)
     for u in utts:
-        video = u.video_path.relative_to(rootp) if u.video_path.is_absolute() else u.video_path
-        audio = u.audio_path.relative_to(rootp) if u.audio_path.is_absolute() else u.audio_path
+        video = Path(u.video_path)
+        audio = Path(u.audio_path)
+        if video.is_absolute():
+            video = video.relative_to(rootp)
+        if audio.is_absolute():
+            audio = audio.relative_to(rootp)
         rows.append(f"{u.uid}\t{video}\t{audio}\t{u.n_frames}\t{u.n_samples}")
     tsv_path.write_text("\n".join(rows) + "\n")
 

@@ -109,6 +109,30 @@ def prepare_video(
     return np.ascontiguousarray(x)
 
 
+def mix_noise(
+    wav: np.ndarray,
+    noise: np.ndarray,
+    snr_db: float,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Additive noise mixing at a target SNR (reference
+    avhubert/hubert_dataset.py:323-365 select_noise/add_noise semantics):
+    noise is tiled/cropped to the clip length and scaled so that
+    10*log10(P_clean / P_noise) == snr_db."""
+    n = len(wav)
+    if len(noise) < n:
+        reps = int(np.ceil(n / len(noise)))
+        noise = np.tile(noise, reps)
+    start = int(rng.integers(0, len(noise) - n + 1))
+    noise = noise[start : start + n].astype(np.float64)
+    p_clean = np.mean(wav.astype(np.float64) ** 2)
+    p_noise = np.mean(noise ** 2)
+    if p_noise <= 0:
+        return wav
+    scale = np.sqrt(p_clean / (p_noise * 10.0 ** (snr_db / 10.0)))
+    return (wav + scale * noise).astype(np.float32)
+
+
 def mel_blur_noise(mel: np.ndarray, rng: np.random.Generator,
                    sigma_range=(0.1, 2.0), noise_std: float = 0.1) -> np.ndarray:
     """Vocoder-input mel corruption ("aug" config): Gaussian blur with a
