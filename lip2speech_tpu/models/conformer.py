@@ -233,6 +233,7 @@ class ConformerEncoder(nn.Module):
     init_values: float = 0.1
     drop_path: float = 0.0
     ff_bn_pre: bool = False
+    remat: bool = False   # jax.checkpoint each layer (trade FLOPs for HBM)
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False, embed_input: bool = True):
@@ -249,8 +250,10 @@ class ConformerEncoder(nn.Module):
         x = nn.Dropout(self.positional_dropout)(x, deterministic=det)
         pos_emb = nn.Dropout(self.positional_dropout)(jnp.asarray(pe, dtype=x.dtype), deterministic=det)
 
+        layer_cls = (nn.remat(ConformerLayer, static_argnums=(4,))
+                     if self.remat else ConformerLayer)
         for i in range(self.layers):
-            x = ConformerLayer(
+            x = layer_cls(
                 dim=self.dim, ffn_dim=self.ffn_dim, heads=self.heads,
                 dropout=self.dropout, attention_dropout=self.attention_dropout,
                 conv_kernel=self.conv_kernel, macaron=self.macaron,

@@ -91,7 +91,8 @@ def warp_image(img: np.ndarray, m: np.ndarray, out_shape=STD_SIZE) -> np.ndarray
            + (1 - fx) * fy * _at(y0 + 1, x0)
            + fx * fy * _at(y0 + 1, x0 + 1))
     out_shape_full = (h_out, w_out) + img.shape[2:]
-    return np.clip(np.round(out.reshape(out_shape_full)), 0, 255).astype(np.uint8)
+    # the reference's (warped*255).astype('uint8') TRUNCATES — reproduce that
+    return np.clip(out.reshape(out_shape_full), 0, 255).astype(np.uint8)
 
 
 def cut_patch(img: np.ndarray, landmarks: np.ndarray, height: int, width: int,
