@@ -20,7 +20,7 @@ jax.config.update("jax_platforms", "cpu")
 # persistent XLA compilation cache: the suite is compile-dominated, and the
 # same tiny-model programs recompile on every run without this
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax-test-cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest  # noqa: E402
