@@ -52,6 +52,9 @@ def main():
         "value": round(rtf, 3),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 5.0, 3),
+        "platform": jax.devices()[0].platform,
+        "batch": batch,
+        "clip_seconds": frames / 25.0,
     }))
 
 

@@ -126,7 +126,9 @@ def make_gan_step(models, txs, cfg: PipelineConfig, mesh=None):
         return total, aux
 
     def gan_step(state: GanState, batch: dict, rng: jax.Array):
-        rng_d, rng_g = jax.random.split(rng)
+        # one dropout sample for both D and G passes, like the reference's
+        # single y_g_hat (train.py:148-185)
+        rng_d = rng_g = rng
         lr_scale = jnp.power(s2.lr_decay, state.epoch.astype(jnp.float32))
         y = batch["audio"]
         y_mel = mel_of(y)
