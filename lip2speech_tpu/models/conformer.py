@@ -52,6 +52,7 @@ class RelPositionMultiHeadAttention(nn.Module):
     dim: int
     heads: int
     dropout: float = 0.0
+    use_flash: bool = False   # Pallas rel-flash kernel (no attn-dropout path)
 
     @nn.compact
     def __call__(self, x, pos_emb, mask, deterministic: bool = True):
@@ -66,6 +67,19 @@ class RelPositionMultiHeadAttention(nn.Module):
 
         bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, dk))
         bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, dk))
+
+        if self.use_flash and (deterministic or self.dropout == 0.0):
+            from lip2speech_tpu.ops.pallas_rel_attention import rel_flash_attention
+
+            key_mask = mask if mask is not None else jnp.ones((b, t), bool)
+            out = rel_flash_attention(
+                (q + bias_u).transpose(0, 2, 1, 3),
+                (q + bias_v).transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                p.transpose(1, 0, 2), key_mask,
+                interpret=jax.devices()[0].platform != "tpu")
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+            return Linear(d, name="linear_out")(out)
 
         # content score: (B,H,T,T);  position score: (B,H,T,2T-1) -> shift -> (B,H,T,T)
         q_u = (q + bias_u).transpose(0, 2, 1, 3)
@@ -154,6 +168,7 @@ class ConformerLayer(nn.Module):
     drop_path: float = 0.0
     ff_bn_pre: bool = False   # RAVEn: FFN pre-norms are BatchNorm1d, not LN
                               # (raven/_espnet encoder_layer.py:88-101)
+    use_flash: bool = False
 
     def _scale(self, name):
         if not self.layerscale:
@@ -183,6 +198,7 @@ class ConformerLayer(nn.Module):
         residual = x
         y = LayerNorm(self.dim, name="norm_mha")(x) if self.normalize_before else x
         y = RelPositionMultiHeadAttention(self.dim, self.heads, self.attention_dropout,
+                                          use_flash=self.use_flash,
                                           name="self_attn")(y, pos_emb, mask, det)
         x = residual + dpath(self._scale("gamma_mha") * drop(y, deterministic=det), det)
         if not self.normalize_before:
@@ -234,6 +250,7 @@ class ConformerEncoder(nn.Module):
     drop_path: float = 0.0
     ff_bn_pre: bool = False
     remat: bool = False   # jax.checkpoint each layer (trade FLOPs for HBM)
+    use_flash: bool = False  # Pallas rel-flash attention (inference path)
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False, embed_input: bool = True):
@@ -260,7 +277,7 @@ class ConformerEncoder(nn.Module):
                 use_conv=self.use_conv, normalize_before=self.normalize_before,
                 layerscale=self.layerscale, init_values=self.init_values,
                 drop_path=self.drop_path * i / max(self.layers - 1, 1),
-                ff_bn_pre=self.ff_bn_pre,
+                ff_bn_pre=self.ff_bn_pre, use_flash=self.use_flash,
                 name=f"layers_{i}",
             )(x, pos_emb, mask, train)
 
