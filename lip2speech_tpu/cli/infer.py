@@ -90,7 +90,9 @@ def run_inference(
             unit_path.write_text(hypo_str)
     elapsed = time.time() - t0
 
-    fid = abs(hash(str(sorted(result["utt_id"])))) % 1_000_000
+    import hashlib
+
+    fid = int(hashlib.md5(str(sorted(result["utt_id"])).encode()).hexdigest(), 16) % 1_000_000
     json.dump(result, open(results_path / f"hypo-{fid}.json", "w"), indent=4)
 
     n_err = n_total = n_equal = 0
