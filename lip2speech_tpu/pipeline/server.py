@@ -44,7 +44,9 @@ class ServerState:
     def __init__(self, pipelines: dict[str, Lip2SpeechPipeline],
                  active: str, db_path: str = ":memory:",
                  default_spk_emb: np.ndarray | None = None,
-                 speaker_params: dict | None = None):
+                 speaker_params: dict | None = None,
+                 use_batcher: bool = False, max_batch: int = 8,
+                 max_wait_ms: float = 10.0):
         self.pipelines = pipelines
         self.active = active
         self.db = DB(db_path)
@@ -54,6 +56,18 @@ class ServerState:
         # in-process GE2E d-vector encoder replacing the reference's
         # speaker-embedding HTTP sidecar (helpers.py:185-198)
         self.speaker_params = speaker_params
+        # optional dynamic batching: concurrent requests coalesce into one
+        # device call instead of serializing behind the lock
+        self.batchers: dict[str, "object"] = {}
+        if use_batcher:
+            from lip2speech_tpu.pipeline.batcher import DynamicBatcher
+
+            self.batchers = {name: DynamicBatcher(p, max_batch, max_wait_ms)
+                             for name, p in pipelines.items()}
+
+    @property
+    def batcher(self):
+        return self.batchers.get(self.active)
 
     @property
     def pipeline(self) -> Lip2SpeechPipeline:
@@ -68,6 +82,9 @@ def _synthesise_frames(state: ServerState, frames: np.ndarray,
 
     cfg = state.pipeline.cfg
     frames = frames[: int(MAX_DURATION_S * FPS)]
+    if state.batcher is not None:
+        res = state.batcher.synthesise(frames, spk_emb)
+        return res.wav
     video = prepare_video(frames, cfg.video.mouth_size, train=False)
     n = video.shape[0]
     t = pick_bucket(n)
@@ -178,7 +195,12 @@ class Handler(BaseHTTPRequestHandler):
         else:
             spk = self.state.default_spk_emb
 
-        with self.state.lock:
+        import contextlib
+
+        # with the dynamic batcher, requests coalesce instead of serializing
+        guard = (contextlib.nullcontext() if self.state.batcher is not None
+                 else self.state.lock)
+        with guard:
             if long_video:
                 wav = synthesise_long_video(self.state, frames, spk)
             else:
