@@ -8,6 +8,7 @@ validation mel-L1 every 1k, per-epoch ExponentialLR.
 from __future__ import annotations
 
 import argparse
+import numpy as np
 import json
 import time
 from pathlib import Path
@@ -56,8 +57,11 @@ def main(argv=None):
     models, txs, state = stage2.create_gan_state(cfg, jax.random.PRNGKey(cfg.stage2.seed), first)
     step_fn = stage2.make_gan_step(models, txs, cfg, mesh)
 
+    from lip2speech_tpu.utils.metrics_log import MetricsLogger
+
     ckpt_dir = Path(args.checkpoint_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
+    mlog = MetricsLogger(ckpt_dir / "logs")
     rng = jax.random.PRNGKey(cfg.stage2.seed)
     steps = 0
     t0 = time.time()
@@ -67,13 +71,16 @@ def main(argv=None):
             state, logs = step_fn(state, batch, jax.random.fold_in(rng, steps))
             steps += 1
             if steps % args.log_interval == 0:
-                print(json.dumps({
+                rec = {
                     "epoch": epoch, "step": steps,
                     "loss_gen": round(float(logs["loss_gen"]), 3),
                     "loss_disc": round(float(logs["loss_disc"]), 3),
                     "mel_l1": round(float(logs["loss_mel"]), 4),
                     "sps": round(steps / (time.time() - t0), 2),
-                }))
+                }
+                print(json.dumps(rec))
+                mlog.scalars(steps, loss_gen=logs["loss_gen"],
+                             loss_disc=logs["loss_disc"], mel_l1=logs["loss_mel"])
             if steps % args.checkpoint_interval == 0:
                 ckpt.save_stage2(ckpt_dir, state, steps)
             if val_ds is not None and steps % args.validation_interval == 0:
@@ -81,6 +88,15 @@ def main(argv=None):
                 vb = {k: v for k, v in vb.items() if k != "ids"}
                 val = stage2.validation_mel_l1(models[0], state.gen_params, vb, cfg)
                 print(json.dumps({"step": steps, "val_mel_l1": round(float(val), 4)}))
+                mlog.scalars(steps, val_mel_l1=val)
+                # validation audio snapshot (reference train.py:219-241)
+                import jax.numpy as jnp
+                wav = models[0].apply({"params": state.gen_params},
+                                      jnp.asarray(vb["code"][:1]),
+                                      jnp.asarray(vb["mel"][:1]),
+                                      jnp.asarray(vb["spk_emb"][:1]),
+                                      deterministic=True)
+                mlog.audio(steps, "val_pred", np.asarray(wav)[0])
         state = stage2.next_epoch(state)
     ckpt.save_stage2(ckpt_dir, state, steps)
     print(f"done: {steps} steps, {args.epochs} epochs")

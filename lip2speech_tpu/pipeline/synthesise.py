@@ -34,7 +34,8 @@ from lip2speech_tpu.models.vocoder import MelCodeGenerator
 
 @dataclass
 class SynthesisResult:
-    wav: np.ndarray          # (n_samples,) float32 in [-1, 1]
+    wav: np.ndarray          # (n_samples,) float32 in [-1, 1], or int16 PCM
+                             # when the pipeline was built with emit_int16
     units: np.ndarray        # (2 * n_frames,) int32
     mel: np.ndarray          # (4 * n_frames, 80) float32
     sample_rate: int = 16_000
