@@ -87,7 +87,14 @@ def unit_edit_distance(a: list[int], b: list[int]) -> int:
 
 
 def unit_wer(hyps: list[list[int]], refs: list[list[int]]) -> float:
-    """Corpus unit-level WER = sum(edit) / sum(len(ref)) (inference.py:299-317)."""
-    err = sum(unit_edit_distance(h, r) for h, r in zip(hyps, refs))
+    """Corpus unit-level WER = sum(edit) / sum(len(ref)) (inference.py:299-317).
+
+    Uses the native C edit distance when a compiler is available
+    (lip2speech_tpu.native) — ~1000x faster at 1200-token unit sequences."""
+    try:
+        from lip2speech_tpu.native import edit_distance as _ed
+    except Exception:
+        _ed = unit_edit_distance
+    err = sum(_ed(h, r) for h, r in zip(hyps, refs))
     total = sum(len(r) for r in refs)
     return err / max(total, 1)
