@@ -19,7 +19,8 @@ import numpy as np
 from lip2speech_tpu.core.config import PipelineConfig, preset
 from lip2speech_tpu.data.manifest import read_manifest
 from lip2speech_tpu.data.stage1 import Stage1Dataset
-from lip2speech_tpu.decode.units import argmax_units, unit_edit_distance
+from lip2speech_tpu.decode.units import argmax_units
+from lip2speech_tpu.native import edit_distance as unit_edit_distance
 
 
 def run_inference(

@@ -65,8 +65,11 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"params: {n_params / 1e6:.1f}M")
 
+    from lip2speech_tpu.utils.metrics_log import MetricsLogger
+
     ckpt_dir = Path(args.checkpoint_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
+    mlog = MetricsLogger(ckpt_dir / "logs")
     best_acc = -1.0
     rng = jax.random.PRNGKey(args.seed)
     update = 0
@@ -113,6 +116,9 @@ def main(argv=None):
                         "acc": round(acc, 4),
                         "ups": round(update / (time.time() - t0), 3),
                     }))
+                    mlog.scalars(update, loss=logs["loss"], nll=logs["nll_loss"],
+                                 mel=logs["mel_loss"], acc=acc,
+                                 grad_norm=logs["grad_norm"])
                 if update % args.save_interval == 0:
                     acc = float(logs["n_correct"]) / max(float(logs["total"]), 1)
                     ckpt.save_stage1(ckpt_dir, state, update)
