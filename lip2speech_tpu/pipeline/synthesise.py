@@ -130,6 +130,20 @@ class Lip2SpeechPipeline:
             ))
         return results
 
+    def warmup(self, buckets=(48, 96, 160, 240, 360, 480, 600),
+               batch_sizes=(1,)) -> None:
+        """Precompile the e2e program for the serving buckets (production
+        startup pattern — first-request latency drops from ~40 s compile to
+        the steady-state ~100 ms)."""
+        size = self.cfg.video.mouth_size
+        for b in batch_sizes:
+            for t in buckets:
+                video = np.zeros((b, t, size, size, 1), np.float32)
+                mask = np.zeros((b, t), bool)
+                mask[:, 0] = True
+                self.synthesise_batch(video, mask,
+                                      np.zeros((b, 256), np.float32))
+
     def synthesise_file(self, video_path: str | Path, spk_emb: np.ndarray,
                         pad_to_bucket: bool = True) -> SynthesisResult:
         frames = load_video_gray(video_path)[: self.cfg.video.max_frames]
