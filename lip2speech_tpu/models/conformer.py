@@ -68,12 +68,9 @@ class RelPositionMultiHeadAttention(nn.Module):
         bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, dk))
         bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, dk))
 
-        # NOTE: the rel-flash Pallas kernel is numerically verified in
-        # interpret mode, but Mosaic cannot compile its cross-lane band
-        # reshape yet (see ops/pallas_rel_attention.py) — so it is gated off
-        # the TPU compile path; the XLA dense path below is used there.
-        if (self.use_flash and (deterministic or self.dropout == 0.0)
-                and jax.devices()[0].platform != "tpu"):
+        # Pallas rel-flash kernel (no attn-dropout path): compiled on TPU
+        # (the band shear runs as log2 static rolls), interpret mode elsewhere
+        if self.use_flash and (deterministic or self.dropout == 0.0):
             from lip2speech_tpu.ops.pallas_rel_attention import rel_flash_attention
 
             key_mask = mask if mask is not None else jnp.ones((b, t), bool)
@@ -81,7 +78,8 @@ class RelPositionMultiHeadAttention(nn.Module):
                 (q + bias_u).transpose(0, 2, 1, 3),
                 (q + bias_v).transpose(0, 2, 1, 3),
                 k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
-                p.transpose(1, 0, 2), key_mask, interpret=True)
+                p.transpose(1, 0, 2), key_mask,
+                interpret=jax.devices()[0].platform != "tpu")
             out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
             return Linear(d, name="linear_out")(out)
 

@@ -3,16 +3,21 @@ conformer trunk's hot op.
 
 The XL position score BD[i, j] = q_v[i] . p[(T-1) - i + j] only depends on
 the diagonal (j - i), so for a (bq, bk) block pair it is one matmul against a
-contiguous (bq+bk-1)-row slice of the projected position table followed by a
-banded extraction:
+contiguous slice of the projected position table followed by a banded
+extraction:
 
-    G = q_v_blk @ p[s : s + bq+bk-1].T          # (bq, bq+bk-1)
-    BD[a, b] = G[a, (bq-1) - a + b]             # pad/reshape trick, no gather
-    with s = T - qi - bq + kj
+    Gp = q_v_blk @ p_pad[s : s + bq+bk].T       # (bq, bq+bk) lane-aligned
+    BD[a, b] = Gp[a, bq - a + b]                # per-row shear
+
+Mosaic cannot reshape/slice ragged (bq+bk-1)-wide tiles, so the shear is
+decomposed into log2(bq+bk) STATIC pltpu.roll steps gated by the bits of the
+per-row rotation amount (rotate row a left by bq-a; indices stay in
+[1, bq+bk-1] so the rotation never wraps into read positions). p_pad carries
+one never-read junk row at the front to keep Gp lane-aligned.
 
 Scores = (AC + BD)/sqrt(dk) stream through an online softmax, so the (T, T)
 score tensor never hits HBM (at T=1200 that is ~180 MB/layer saved).
-Falls back to the jnp path off-TPU.
+Runs compiled on TPU; interpret mode elsewhere.
 """
 
 from __future__ import annotations
@@ -30,11 +35,29 @@ NEG_INF = -1e30
 
 def _band_extract(g: jnp.ndarray, bk: int) -> jnp.ndarray:
     """(bq, bq+bk-1) diagonal-band matrix -> (bq, bk) with
-    out[a, b] = g[a, bq-1-a+b] (generalized rel_shift, verified vs gather)."""
+    out[a, b] = g[a, bq-1-a+b] (generalized rel_shift, verified vs gather).
+
+    Reshape-trick form used by the interpret-mode tests; the compiled kernel
+    uses the lane-aligned roll-shear (_band_extract_rolls)."""
     bq = g.shape[0]
     gp = jnp.pad(g, ((0, 0), (1, 0)))              # (bq, bq+bk)
     r = gp.reshape(bq + bk, bq)[1:, :]             # (bq+bk-1, bq)
     return r.reshape(bq, bq + bk - 1)[:, :bk]
+
+
+def _band_extract_rolls(gp: jnp.ndarray, bk: int) -> jnp.ndarray:
+    """(bq, bq+bk) lane-aligned matrix (col 0 never read) -> (bq, bk) with
+    out[a, b] = gp[a, bq - a + b], via log2 static rolls (Mosaic-friendly)."""
+    bq, w2 = gp.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, w2), 0)
+    rot = (bq - rows) % w2
+    x = gp
+    shift = 1
+    while shift < w2:
+        rolled = pltpu.roll(x, w2 - shift, 1)      # left-rotate by `shift`
+        x = jnp.where((rot & shift) > 0, rolled, x)
+        shift *= 2
+    return x[:, :bk]
 
 
 def _kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref, o_ref,
@@ -59,10 +82,12 @@ def _kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref, o_ref,
         mask_blk = mask_ref[0, 0, pl.ds(kj, block_k)]
 
         ac = jnp.dot(qu, k_blk.T, preferred_element_type=jnp.float32)
-        s_start = t - qi - bq + kj                  # always in [0, 2T-1-L]
-        p_slice = p_ref[0, pl.ds(s_start, bq + block_k - 1), :]
+        # p_ref is the +1-junk-row padded table: rows [s, s+bq+bk) cover the
+        # original [s-1, s+bq+bk-1); column 0 of g is never read
+        s_start = t - qi - bq + kj
+        p_slice = p_ref[0, pl.ds(s_start, bq + block_k), :]
         g = jnp.dot(qv, p_slice.T, preferred_element_type=jnp.float32)
-        bd = _band_extract(g, block_k)
+        bd = _band_extract_rolls(g, block_k)
 
         s = (ac + bd) * scale
         s = jnp.where(mask_blk[None, :] > 0, s, NEG_INF)
@@ -111,6 +136,8 @@ def rel_flash_attention(
     kf = k.reshape(b * h, t_pad, dk)
     vf = v.reshape(b * h, t_pad, dk)
     maskf = jnp.repeat(mask.astype(jnp.int32), h, axis=0).reshape(b * h, 1, t_pad)
+    # one junk row at the front keeps the in-kernel G matrix lane-aligned
+    p = jnp.pad(p, [(0, 0), (1, 0), (0, 0)])            # (H, 2*t_pad, dk)
 
     grid = (b * h, t_pad // blk)
     out = pl.pallas_call(
@@ -121,7 +148,7 @@ def rel_flash_attention(
             pl.BlockSpec((1, blk, dk), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, dk), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, dk), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * t_pad - 1, dk), lambda i, j: (i % h, 0, 0),
+            pl.BlockSpec((1, 2 * t_pad, dk), lambda i, j: (i % h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, t_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
