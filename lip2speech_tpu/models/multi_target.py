@@ -133,7 +133,8 @@ class MultiTargetModel(nn.Module):
             dim=cf.dim, ffn_dim=cf.ffn_dim, heads=cf.heads, layers=cf.layers,
             dropout=cf.dropout, attention_dropout=cf.attention_dropout,
             positional_dropout=cf.dropout, conv_kernel=cf.conv_kernel,
-            macaron=cf.macaron, normalize_before=cf.layer_norm_first)
+            macaron=cf.macaron, normalize_before=cf.layer_norm_first,
+            use_flash=cf.use_flash)
 
         self.final_dropout = nn.Dropout(self.cfg.final_dropout)
         self.unit_head = MLPHead(cf.dim, self.cfg.units.vocab_size, self.cfg.final_dropout)
