@@ -1,0 +1,1 @@
+from lip2speech_tpu.ops import dsp, kmeans, masking, nn, warp  # noqa: F401

@@ -267,11 +267,13 @@ async function go(){
 def make_server(port: int = 5002,
                 pipelines: dict[str, Lip2SpeechPipeline] | None = None,
                 cfg: PipelineConfig | None = None,
-                db_path: str = ":memory:") -> ThreadingHTTPServer:
+                db_path: str = ":memory:",
+                use_batcher: bool = False) -> ThreadingHTTPServer:
     if pipelines is None:
         cfg = cfg or preset("multi_target")
         pipelines = {"multi_target": Lip2SpeechPipeline.initialize_random(cfg)}
-    state = ServerState(pipelines, active=sorted(pipelines)[0], db_path=db_path)
+    state = ServerState(pipelines, active=sorted(pipelines)[0], db_path=db_path,
+                        use_batcher=use_batcher)
     handler = type("BoundHandler", (Handler,), {"state": state})
     return ThreadingHTTPServer(("127.0.0.1", port), handler)
 
@@ -282,8 +284,23 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--port", type=int, default=5002)
     p.add_argument("--db", default="server.db")
+    p.add_argument("--batcher", action="store_true",
+                   help="coalesce concurrent requests into batched device calls")
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile all serving buckets before accepting traffic")
+    p.add_argument("--streaming-port", type=int, default=0,
+                   help="also serve the websocket frame-streaming endpoint")
     args = p.parse_args()
-    server = make_server(args.port, db_path=args.db)
+    server = make_server(args.port, db_path=args.db, use_batcher=args.batcher)
+    state = server.RequestHandlerClass.state
+    if args.warmup:
+        print("warming up (compiling serving buckets)...")
+        state.pipeline.warmup()
+    if args.streaming_port:
+        from lip2speech_tpu.pipeline.streaming import start_streaming_thread
+
+        start_streaming_thread(state, port=args.streaming_port)
+        print(f"streaming on :{args.streaming_port}")
     print(f"serving on :{args.port}")
     server.serve_forever()
 
