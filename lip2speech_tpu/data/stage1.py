@@ -115,7 +115,11 @@ class Stage1Dataset:
                 "unit_tokens": units, "mel": mel, "ids": ids}
 
     def batches(self, batch_size: int, shuffle: bool = False):
-        """Yield collated batches grouped by length bucket."""
+        """Yield collated batches grouped by length bucket.
+
+        With shuffle, samples are shuffled within buckets AND the batch order
+        is shuffled across buckets (so training doesn't see ascending-length
+        curricula); without, deterministic bucket-sorted order for eval."""
         order = np.arange(len(self.utts))
         if shuffle:
             self.rng.shuffle(order)
@@ -123,7 +127,10 @@ class Stage1Dataset:
         for idx in order:
             bkt = pick_bucket(min(self.utts[idx].n_frames, self.max_frames))
             by_bucket.setdefault(bkt, []).append(int(idx))
-        for bkt, idxs in sorted(by_bucket.items()):
-            for i in range(0, len(idxs), batch_size):
-                chunk = idxs[i : i + batch_size]
-                yield self.collate([self.load(j) for j in chunk], pad_to=bkt)
+        plan = [(bkt, idxs[i : i + batch_size])
+                for bkt, idxs in sorted(by_bucket.items())
+                for i in range(0, len(idxs), batch_size)]
+        if shuffle:
+            self.rng.shuffle(plan)
+        for bkt, chunk in plan:
+            yield self.collate([self.load(j) for j in chunk], pad_to=bkt)
