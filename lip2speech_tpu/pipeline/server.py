@@ -46,7 +46,7 @@ class ServerState:
                  default_spk_emb: np.ndarray | None = None,
                  speaker_params: dict | None = None,
                  use_batcher: bool = False, max_batch: int = 8,
-                 max_wait_ms: float = 10.0):
+                 max_wait_ms: float = 10.0, postprocess: bool = False):
         self.pipelines = pipelines
         self.active = active
         self.db = DB(db_path)
@@ -56,6 +56,9 @@ class ServerState:
         # in-process GE2E d-vector encoder replacing the reference's
         # speaker-embedding HTTP sidecar (helpers.py:185-198)
         self.speaker_params = speaker_params
+        # optional output post-processing: denoise + normalize every
+        # synthesized waveform (reference server.py:316 rnnoise chain)
+        self.postprocess = postprocess
         # optional dynamic batching: concurrent requests coalesce into one
         # device call instead of serializing behind the lock
         self.batchers: dict[str, "object"] = {}
@@ -84,7 +87,7 @@ def _synthesise_frames(state: ServerState, frames: np.ndarray,
     frames = frames[: int(MAX_DURATION_S * FPS)]
     if state.batcher is not None:
         res = state.batcher.synthesise(frames, spk_emb)
-        return res.wav
+        return _postprocess(state, res.wav)
     video = prepare_video(frames, cfg.video.mouth_size, train=False)
     n = video.shape[0]
     t = pick_bucket(n)
@@ -93,7 +96,15 @@ def _synthesise_frames(state: ServerState, frames: np.ndarray,
     mask = np.zeros((1, t), bool)
     mask[0, :n] = True
     res = state.pipeline.synthesise_batch(vb, mask, spk_emb[None].astype(np.float32))
-    return res[0].wav
+    return _postprocess(state, res[0].wav)
+
+
+def _postprocess(state: ServerState, wav: np.ndarray) -> np.ndarray:
+    if not state.postprocess:
+        return wav
+    from lip2speech_tpu.ops.denoise import preprocess_audio
+
+    return preprocess_audio(np.asarray(wav, np.float32))
 
 
 def synthesise_long_video(state: ServerState, frames: np.ndarray,
