@@ -41,9 +41,14 @@ def extract_mel(wav: np.ndarray, audio: AudioConfig = AudioConfig()) -> np.ndarr
 def init_sample(video_path: Path, audio_path: Path, out_root: Path, rel_id: str,
                 landmarks_path: Path | None = None,
                 spk_emb_path: Path | None = None,
-                mean_face: np.ndarray | None = None) -> Utterance:
+                mean_face: np.ndarray | None = None,
+                speaker_params: dict | None = None) -> Utterance:
     """Prepare one utterance into the dataset tree layout
-    (video/ audio/ mel/ spk_emb/ landmark/ — reference config.py:39-49)."""
+    (video/ audio/ mel/ spk_emb/ landmark/ — reference config.py:39-49).
+
+    Speaker embedding priority: an explicit .npy > in-process GE2E d-vector
+    from the clip's own audio (speaker_params; replaces the reference's RTVC
+    speaker-embedding sidecar, helpers.py:185-198) > zeros."""
     frames = load_video_gray(video_path)
     if landmarks_path is not None:
         from lip2speech_tpu.pipeline.mouth_crop import (
@@ -73,6 +78,11 @@ def init_sample(video_path: Path, audio_path: Path, out_root: Path, rel_id: str,
     spk_path.parent.mkdir(parents=True, exist_ok=True)
     if spk_emb_path is not None:
         np.save(spk_path, np.load(spk_emb_path).astype(np.float32))
+    elif speaker_params is not None:
+        from lip2speech_tpu.models.speaker import embed_utterance
+
+        np.save(spk_path, np.asarray(
+            embed_utterance(speaker_params, wav, sr), np.float32))
     else:
         np.save(spk_path, np.zeros(256, np.float32))
 
@@ -93,6 +103,61 @@ def build_manifests(root: Path, split: str, utts: list[Utterance],
         # serving placeholder: constant units sized 2x frames (server.py:258-285)
         write_units(label / f"{split}.unt",
                     [np.zeros(2 * u.n_frames, np.int32) for u in utts])
+
+
+def rebuild_manifests(root: Path, split: str) -> list[Utterance]:
+    """Scan an existing dataset tree and (re)write label/<split>.tsv (+ .unt
+    placeholder when absent) — the reference 'manifests' subcommand
+    (create_dataset.py:331-363) builds manifests from the prepared tree."""
+    import wave as wavemod
+
+    video_dir = root / "video" / split
+    utts: list[Utterance] = []
+    vids = sorted(list(video_dir.rglob("*.mp4")) + list(video_dir.rglob("*.npy")))
+    seen = set()
+    for v in vids:
+        uid = f"{split}/{v.relative_to(video_dir).with_suffix('')}"
+        if uid in seen:  # .mp4 + .npy sidecar pair counts once
+            continue
+        seen.add(uid)
+        n_frames = len(load_video_gray(v))
+        audio = root / "audio" / f"{uid}.wav"
+        if audio.exists():
+            with wavemod.open(str(audio)) as w:
+                n_samples = w.getnframes()
+        else:
+            n_samples = n_frames * 640
+        utts.append(Utterance(uid=uid, video_path=Path("video") / f"{uid}.mp4",
+                              audio_path=Path("audio") / f"{uid}.wav",
+                              n_frames=n_frames, n_samples=n_samples))
+    unt = root / "label" / f"{split}.unt"
+    existing_units = None
+    if unt.exists():
+        existing_units = [np.array([int(x) for x in line.split()], np.int32)
+                          for line in unt.read_text().splitlines()]
+        if len(existing_units) != len(utts):
+            existing_units = None  # stale; regenerate placeholder
+    build_manifests(root, split, utts, existing_units)
+    return utts
+
+
+def load_speaker_encoder(spec: str) -> dict:
+    """GE2E speaker-encoder params: 'random' (seeded init, smoke tests), a
+    torch RTVC .pt (converted), or an orbax pytree dir."""
+    from lip2speech_tpu.models import speaker
+
+    if spec == "random":
+        import jax
+
+        return speaker.init_params(jax.random.PRNGKey(0))
+    p = Path(spec)
+    if p.is_file():
+        from lip2speech_tpu.convert.torch_to_jax import load_torch_state
+
+        return speaker.convert_rtvc_encoder(load_torch_state(p))
+    from lip2speech_tpu.train.checkpoint import load_pytree
+
+    return load_pytree(p)
 
 
 def setup_vocoder_dir(dataset_root: Path, synthesis_dir: Path, out_root: Path,
@@ -163,6 +228,17 @@ def main():
     p_init = sub.add_parser("init")
     p_init.add_argument("--videos", nargs="+", required=True)
     p_init.add_argument("--audios", nargs="+", required=True)
+    p_init.add_argument("--landmarks", nargs="*", default=None,
+                        help="per-clip 68-point landmark .npy files (raw video "
+                             "is mouth-cropped in-process)")
+    p_init.add_argument("--spk-embs", nargs="*", default=None,
+                        help="per-clip precomputed speaker-embedding .npy files")
+    p_init.add_argument("--speaker-encoder", default=None,
+                        help="GE2E encoder for d-vectors from each clip's own "
+                             "audio: RTVC .pt, orbax dir, or 'random'")
+    p_init.add_argument("--workers", type=int, default=1,
+                        help="process pool size for per-clip prep (reference "
+                             "create_dataset.py:312-315 uses multiprocessing)")
     p_init.add_argument("--out-root", required=True)
     p_init.add_argument("--split", default="test")
 
@@ -184,11 +260,32 @@ def main():
     args = p.parse_args()
     if args.cmd == "init":
         out_root = Path(args.out_root)
-        utts = []
-        for i, (v, a) in enumerate(zip(args.videos, args.audios)):
-            utts.append(init_sample(Path(v), Path(a), out_root,
-                                    f"{args.split}/clip/{i:05d}"))
+        speaker_params = (load_speaker_encoder(args.speaker_encoder)
+                          if args.speaker_encoder else None)
+
+        def _job(i):
+            v, a = args.videos[i], args.audios[i]
+            lm = Path(args.landmarks[i]) if args.landmarks else None
+            se = Path(args.spk_embs[i]) if args.spk_embs else None
+            return init_sample(Path(v), Path(a), out_root,
+                               f"{args.split}/clip/{i:05d}",
+                               landmarks_path=lm, spk_emb_path=se,
+                               speaker_params=speaker_params)
+
+        n = len(args.videos)
+        if args.workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # threads, not processes: per-clip work is numpy/ffmpeg-bound and
+            # releases the GIL; processes would re-import jax per worker
+            with ThreadPoolExecutor(args.workers) as pool:
+                utts = list(pool.map(_job, range(n)))
+        else:
+            utts = [_job(i) for i in range(n)]
         build_manifests(out_root, args.split, utts)
+    elif args.cmd == "manifests":
+        utts = rebuild_manifests(Path(args.root), args.split)
+        print(f"wrote manifests for {len(utts)} utterances")
     elif args.cmd == "vocoder":
         setup_vocoder_dir(Path(args.dataset_root), Path(args.synthesis_dir),
                           Path(args.out_root), args.split)

@@ -12,8 +12,6 @@ import json
 import time
 from pathlib import Path
 
-import numpy as np
-
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
@@ -30,6 +28,9 @@ def main(argv=None):
     p.add_argument("--save-interval", type=int, default=1000)
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest s1_* checkpoint in --checkpoint-dir "
+                        "(params, optimizer, step) and continue")
     args = p.parse_args(argv)
 
     import jax
@@ -54,6 +55,10 @@ def main(argv=None):
     ds = Stage1Dataset(args.train_tsv, args.train_unt, root_override=args.root,
                        train=True, random_erase=True, time_mask=True,
                        seed=args.seed)
+    val_ds = None
+    if args.valid_tsv:
+        val_ds = Stage1Dataset(args.valid_tsv, args.valid_unt,
+                               root_override=args.root, train=False)
     mesh = fitting_mesh(cfg.stage1.batch_size)
     print(f"devices: {jax.device_count()}, mesh: {mesh.shape}")
 
@@ -61,6 +66,7 @@ def main(argv=None):
     first = next(ds.batches(cfg.stage1.batch_size, shuffle=True))
     model, tx, state = stage1.create_train_state(cfg, jax.random.PRNGKey(args.seed), first)
     step_fn = stage1.make_train_step(model, tx, cfg, mesh)
+    eval_step = stage1.make_eval_step(model, cfg) if val_ds is not None else None
 
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"params: {n_params / 1e6:.1f}M")
@@ -70,38 +76,34 @@ def main(argv=None):
     ckpt_dir = Path(args.checkpoint_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     mlog = MetricsLogger(ckpt_dir / "logs")
+    best_path = ckpt_dir / "best.json"
     best_acc = -1.0
-    rng = jax.random.PRNGKey(args.seed)
     update = 0
+    if args.resume:
+        state, update = ckpt.restore_stage1(ckpt_dir, state)
+        if update:
+            print(f"resumed from update {update}")
+        if best_path.exists():
+            best_acc = json.loads(best_path.read_text()).get("accuracy", -1.0)
+    rng = jax.random.PRNGKey(args.seed)
+    pad_id = cfg.model.units.pad
+
+    def save_best(acc: float, source: str):
+        nonlocal best_acc
+        if acc > best_acc:  # best-accuracy policy like the reference
+            best_acc = acc
+            ckpt.save_stage1(ckpt_dir, state, 0)  # s1_00000000 = best
+            best_path.write_text(json.dumps(
+                {"accuracy": acc, "update": update, "metric": source}))
+
     t0 = time.time()
     while update < cfg.stage1.max_updates:
         micro_batches = []
         for batch in ds.batches(cfg.stage1.batch_size, shuffle=True):
             micro_batches.append(batch)
             if len(micro_batches) == cfg.stage1.update_freq:
-                # pad micro-batches to a common bucket for stacking
-                t = max(b["video"].shape[1] for b in micro_batches)
-                bsz = min(b["video"].shape[0] for b in micro_batches)
-                stacked = {}
-                for k in micro_batches[0]:
-                    if k == "ids":
-                        continue
-                    parts = []
-                    for b in micro_batches:
-                        a = b[k][:bsz]
-                        pad = [(0, 0)] * a.ndim
-                        if k == "video":
-                            pad[1] = (0, t - a.shape[1])
-                        elif k == "frames_mask":
-                            pad[1] = (0, t - a.shape[1])
-                        elif k == "unit_tokens":
-                            pad[1] = (0, 2 * t + 1 - a.shape[1])
-                        elif k == "mel":
-                            pad[1] = (0, 4 * t - a.shape[1])
-                        a = np.pad(a, pad, constant_values=(
-                            1 if k == "unit_tokens" else 0))
-                        parts.append(a)
-                    stacked[k] = np.stack(parts)
+                stacked = stage1.stack_accum(micro_batches, pad_id=pad_id,
+                                             batch_size=cfg.stage1.batch_size)
                 state, logs = step_fn(state, stacked,
                                       jax.random.fold_in(rng, update))
                 update += 1
@@ -120,11 +122,23 @@ def main(argv=None):
                                  mel=logs["mel_loss"], acc=acc,
                                  grad_norm=logs["grad_norm"])
                 if update % args.save_interval == 0:
-                    acc = float(logs["n_correct"]) / max(float(logs["total"]), 1)
                     ckpt.save_stage1(ckpt_dir, state, update)
-                    if acc > best_acc:  # best-accuracy policy like the reference
-                        best_acc = acc
-                        ckpt.save_stage1(ckpt_dir, state, 0)  # s1_00000000 = best
+                    if val_ds is not None:
+                        # best-on-validation accuracy, like the reference
+                        # (conf/lrs3/multi_target.yaml: best_checkpoint_metric:
+                        # accuracy over the valid subset)
+                        val = stage1.evaluate(model, state, val_ds,
+                                              cfg.stage1.batch_size, cfg,
+                                              eval_step=eval_step)
+                        print(json.dumps({"update": update,
+                                          "val_acc": round(val["accuracy"], 4),
+                                          "val_nll": round(val["nll"], 4)}))
+                        mlog.scalars(update, val_acc=val["accuracy"],
+                                     val_nll=val["nll"])
+                        save_best(val["accuracy"], "valid_accuracy")
+                    else:
+                        acc = float(logs["n_correct"]) / max(float(logs["total"]), 1)
+                        save_best(acc, "train_accuracy")
                 if update >= cfg.stage1.max_updates:
                     break
     ckpt.save_stage1(ckpt_dir, state, update)

@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--checkpoint-interval", type=int, default=10_000)
     p.add_argument("--validation-interval", type=int, default=1_000)
     p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest g_/do_ checkpoint pair in "
+                        "--checkpoint-dir (G, D, both optimizers, step, epoch) "
+                        "and continue — reference train.py:63-98")
     args = p.parse_args(argv)
 
     import jax
@@ -64,8 +68,14 @@ def main(argv=None):
     mlog = MetricsLogger(ckpt_dir / "logs")
     rng = jax.random.PRNGKey(cfg.stage2.seed)
     steps = 0
+    start_epoch = 0
+    if args.resume:
+        state, steps = ckpt.restore_stage2(ckpt_dir, state)
+        start_epoch = int(state.epoch)
+        if steps:
+            print(f"resumed from step {steps}, epoch {start_epoch}")
     t0 = time.time()
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         for batch in ds.batches(cfg.stage2.batch_size):
             batch = {k: v for k, v in batch.items() if k != "ids"}
             state, logs = step_fn(state, batch, jax.random.fold_in(rng, steps))
@@ -84,17 +94,26 @@ def main(argv=None):
             if steps % args.checkpoint_interval == 0:
                 ckpt.save_stage2(ckpt_dir, state, steps)
             if val_ds is not None and steps % args.validation_interval == 0:
-                vb = next(val_ds.batches(cfg.stage2.batch_size, shuffle=False))
-                vb = {k: v for k, v in vb.items() if k != "ids"}
-                val = stage2.validation_mel_l1(models[0], state.gen_params, vb, cfg)
-                print(json.dumps({"step": steps, "val_mel_l1": round(float(val), 4)}))
+                # full validation pass, mel-L1 averaged over all batches
+                # (reference train.py:219-241 iterates the whole val loader)
+                tot, nb, vb0 = 0.0, 0, None
+                for vb in val_ds.batches(cfg.stage2.batch_size, shuffle=False):
+                    vb = {k: v for k, v in vb.items() if k != "ids"}
+                    if vb0 is None:
+                        vb0 = vb
+                    tot += float(stage2.validation_mel_l1(
+                        models[0], state.gen_params, vb, cfg))
+                    nb += 1
+                val = tot / max(nb, 1)
+                print(json.dumps({"step": steps, "val_mel_l1": round(val, 4),
+                                  "val_batches": nb}))
                 mlog.scalars(steps, val_mel_l1=val)
                 # validation audio snapshot (reference train.py:219-241)
                 import jax.numpy as jnp
                 wav = models[0].apply({"params": state.gen_params},
-                                      jnp.asarray(vb["code"][:1]),
-                                      jnp.asarray(vb["mel"][:1]),
-                                      jnp.asarray(vb["spk_emb"][:1]),
+                                      jnp.asarray(vb0["code"][:1]),
+                                      jnp.asarray(vb0["mel"][:1]),
+                                      jnp.asarray(vb0["spk_emb"][:1]),
                                       deterministic=True)
                 mlog.audio(steps, "val_pred", np.asarray(wav)[0])
         state = stage2.next_epoch(state)

@@ -185,7 +185,16 @@ class Handler(BaseHTTPRequestHandler):
 
         body = self._read_body()
         t0 = time.time()
-        frames = load_video_gray(body["video_path"])
+        try:
+            frames = load_video_gray(body["video_path"])
+        except Exception as e:  # bad client input, not a server fault
+            self._json(400, {"error": f"cannot load video: {e}"})
+            return
+        if not long_video and len(frames) > MAX_DURATION_S * FPS:
+            # reject before touching the device or taking the lock
+            self._json(400, {"error": f"video longer than {MAX_DURATION_S}s; "
+                                      f"use /vsg/synthesise"})
+            return
         if "landmarks_path" in body:
             # raw (uncropped) video + landmarks: crop the mouth ROI in-process
             from lip2speech_tpu.pipeline.landmarks import (
@@ -215,11 +224,6 @@ class Handler(BaseHTTPRequestHandler):
             if long_video:
                 wav = synthesise_long_video(self.state, frames, spk)
             else:
-                if len(frames) > MAX_DURATION_S * FPS:
-                    self._json(400, {"error":
-                                     f"video longer than {MAX_DURATION_S}s; "
-                                     f"use /vsg/synthesise"})
-                    return
                 wav = _synthesise_frames(self.state, frames, spk)
 
         elapsed = time.time() - t0
@@ -295,6 +299,17 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--port", type=int, default=5002)
     p.add_argument("--db", default="server.db")
+    p.add_argument("--checkpoint", nargs=4, action="append", default=[],
+                   metavar=("NAME", "PRESET", "STAGE1", "VOCODER"),
+                   help="register a real-weight pipeline: a display name, a "
+                        "config preset, and stage-1 + vocoder checkpoints "
+                        "(torch .pt, converted on load, or orbax dirs). "
+                        "Repeatable; the reference decoder server preloads "
+                        "its checkpoint list the same way "
+                        "(inference_server.py:106-176). Without this flag a "
+                        "random-weight smoke pipeline is served.")
+    p.add_argument("--bf16", action="store_true",
+                   help="serve in bfloat16 (casts weights+activations)")
     p.add_argument("--batcher", action="store_true",
                    help="coalesce concurrent requests into batched device calls")
     p.add_argument("--warmup", action="store_true",
@@ -302,7 +317,23 @@ def main():
     p.add_argument("--streaming-port", type=int, default=0,
                    help="also serve the websocket frame-streaming endpoint")
     args = p.parse_args()
-    server = make_server(args.port, db_path=args.db, use_batcher=args.batcher)
+    pipelines = None
+    if args.checkpoint:
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if args.bf16 else None
+        pipelines = {}
+        for name, preset_name, s1_path, voc_path in args.checkpoint:
+            print(f"loading pipeline {name!r} (preset {preset_name}): "
+                  f"stage1={s1_path} vocoder={voc_path}")
+            pipelines[name] = Lip2SpeechPipeline.from_checkpoints(
+                preset(preset_name), s1_path, voc_path,
+                compute_dtype=dtype, emit_int16=False)
+    else:
+        print("WARNING: no --checkpoint given; serving RANDOM weights "
+              "(smoke-test mode)")
+    server = make_server(args.port, pipelines=pipelines, db_path=args.db,
+                         use_batcher=args.batcher)
     state = server.RequestHandlerClass.state
     if args.warmup:
         print("warming up (compiling serving buckets)...")

@@ -32,6 +32,34 @@ from lip2speech_tpu.models.multi_target import MultiTargetModel
 from lip2speech_tpu.models.vocoder import MelCodeGenerator
 
 
+def load_stage1_variables(path: str | Path, cfg: PipelineConfig) -> dict:
+    """Stage-1 variables from a torch .pt (converted) or an orbax s1_* dir."""
+    path = Path(path)
+    if path.is_file():  # torch .pt
+        from lip2speech_tpu.convert.torch_to_jax import (
+            convert_multi_target, load_torch_state)
+
+        return convert_multi_target(load_torch_state(path), cfg.model)
+    from lip2speech_tpu.train.checkpoint import load_pytree
+
+    state = load_pytree(path)
+    return {"params": state["params"],
+            "batch_stats": state.get("batch_stats", {})}
+
+
+def load_vocoder_params(path: str | Path, cfg: PipelineConfig) -> dict:
+    """Vocoder generator params from a torch g_*.pt or an orbax g_* dir."""
+    path = Path(path)
+    if path.is_file():
+        from lip2speech_tpu.convert.torch_to_jax import (
+            convert_vocoder_generator, load_torch_state)
+
+        return convert_vocoder_generator(load_torch_state(path), cfg.vocoder)
+    from lip2speech_tpu.train.checkpoint import load_pytree
+
+    return load_pytree(path)["generator"]
+
+
 @dataclass
 class SynthesisResult:
     wav: np.ndarray          # (n_samples,) float32 in [-1, 1], or int16 PCM
@@ -65,6 +93,18 @@ class Lip2SpeechPipeline:
         self.compute_dtype = compute_dtype
         self.emit_int16 = emit_int16
         self._jitted = functools.lru_cache(maxsize=None)(self._build)
+
+    @classmethod
+    def from_checkpoints(cls, cfg: PipelineConfig, stage1_path: str | Path,
+                         vocoder_path: str | Path, compute_dtype: Any = None,
+                         emit_int16: bool = False) -> "Lip2SpeechPipeline":
+        """Real-weight pipeline from checkpoints: each path is either a torch
+        .pt (converted on load, reference inference_server.py:106-176 preloads
+        the published .pt pair the same way) or a native orbax directory
+        (s1_* / g_*)."""
+        return cls(cfg, load_stage1_variables(stage1_path, cfg),
+                   load_vocoder_params(vocoder_path, cfg),
+                   compute_dtype=compute_dtype, emit_int16=emit_int16)
 
     @classmethod
     def initialize_random(cls, cfg: PipelineConfig, seed: int = 0,

@@ -47,7 +47,10 @@ def label_smoothed_ce(
     eps_i = eps / (logits.shape[-1] - 1)
     loss = (1.0 - eps - eps_i) * nll_loss + eps_i * smooth_loss
 
-    n_sentences = targets.shape[0]
+    # count only sentences with >=1 valid token: equal to batch size on real
+    # data, and lets all-pad dummy rows (batch padding to a static size)
+    # contribute zero to the normalizer
+    n_sentences = jnp.sum(jnp.any(valid, axis=1))
     n_tokens = jnp.sum(valid)
     sample_size = n_sentences if sentence_avg else n_tokens
     return loss, nll_loss, sample_size

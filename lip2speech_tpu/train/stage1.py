@@ -168,9 +168,109 @@ def make_train_step(model: MultiTargetModel, tx, cfg: PipelineConfig, mesh=None)
     )
 
 
-def stack_accum(batches: list[dict]) -> dict:
-    """Stack update_freq host micro-batches into the (accum, B, ...) layout."""
+def pad_batch_rows(batch: dict, bsz: int, pad_id: int) -> dict:
+    """Pad the batch dimension up to bsz with dummy rows.
+
+    Dummy rows are all-masked (frames_mask False, unit_tokens all pad), so
+    they contribute exactly zero loss AND zero sample_size (label_smoothed_ce
+    counts only sentences with >=1 valid token). This replaces truncating a
+    group of micro-batches to the smallest one, which silently dropped tail
+    samples (fairseq instead pads to required_batch_size_multiple)."""
     import numpy as np
 
+    b = batch["video"].shape[0]
+    if b >= bsz:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        if k == "ids":
+            out[k] = list(v) + [""] * (bsz - b)
+            continue
+        pad = [(0, 0)] * v.ndim
+        pad[0] = (0, bsz - b)
+        out[k] = np.pad(v, pad, constant_values=(
+            pad_id if k == "unit_tokens" else
+            False if v.dtype == np.bool_ else 0))
+    return out
+
+
+def stack_accum(batches: list[dict], pad_id: int | None = None,
+                batch_size: int | None = None) -> dict:
+    """Stack update_freq host micro-batches into the (accum, B, ...) layout.
+
+    Micro-batches may differ in batch size (bucket tails) and sequence length
+    (different buckets): rows are padded with zero-loss dummies, time with the
+    usual masked padding. Pass batch_size to pad every micro-batch to the
+    configured static size (required for an even split over the data mesh
+    axis, and keeps one compiled shape per bucket)."""
+    import numpy as np
+
+    if pad_id is not None:
+        t = max(b["video"].shape[1] for b in batches)
+        bsz = batch_size or max(b["video"].shape[0] for b in batches)
+        padded = []
+        for b in batches:
+            b = pad_batch_rows(b, bsz, pad_id)
+            dt = t - b["video"].shape[1]
+            if dt:
+                nb = {}
+                for k, v in b.items():
+                    if k == "ids":
+                        nb[k] = v
+                        continue
+                    pad = [(0, 0)] * v.ndim
+                    if k in ("video", "frames_mask"):
+                        pad[1] = (0, dt)
+                    elif k == "unit_tokens":
+                        pad[1] = (0, 2 * t + 1 - v.shape[1])
+                    elif k == "mel":
+                        pad[1] = (0, 4 * t - v.shape[1])
+                    nb[k] = np.pad(v, pad, constant_values=(
+                        pad_id if k == "unit_tokens" else
+                        False if v.dtype == np.bool_ else 0))
+                b = nb
+            padded.append(b)
+        batches = padded
     keys = [k for k in batches[0] if k != "ids"]
     return {k: np.stack([b[k] for b in batches]) for k in keys}
+
+
+def make_eval_step(model: MultiTargetModel, cfg: PipelineConfig):
+    """Jitted validation step: (n_correct, n_valid, nll_sum) on one batch."""
+    pad_id = cfg.model.units.pad
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        outputs = model.apply(variables, batch["video"], batch["frames_mask"],
+                              batch["spk_emb"], train=False)
+        from lip2speech_tpu.train.losses import label_smoothed_ce, unit_accuracy
+
+        _, nll, _ = label_smoothed_ce(outputs["unit_logits"],
+                                      batch["unit_tokens"], pad_id)
+        n_correct, total = unit_accuracy(outputs["unit_logits"],
+                                         batch["unit_tokens"], pad_id)
+        return n_correct, total, nll
+
+    return eval_step
+
+
+def evaluate(model: MultiTargetModel, state: TrainState, ds, batch_size: int,
+             cfg: PipelineConfig, eval_step=None) -> dict:
+    """Unit accuracy + NLL over a full validation dataset.
+
+    Replaces fairseq's valid loop; the reference selects best checkpoints on
+    this accuracy (conf/lrs3/multi_target.yaml: best_checkpoint_metric:
+    accuracy, maximize_best_checkpoint_metric: true)."""
+    if eval_step is None:
+        eval_step = make_eval_step(model, cfg)
+    n_correct = total = nll = 0.0
+    for batch in ds.batches(batch_size, shuffle=False):
+        batch = {k: v for k, v in batch.items() if k != "ids"}
+        c, t, n = eval_step(state.params, state.batch_stats, batch)
+        n_correct += float(c)
+        total += float(t)
+        nll += float(n)
+    total = max(total, 1.0)
+    return {"accuracy": n_correct / total, "nll": nll / total,
+            "n_tokens": int(total)}

@@ -102,10 +102,50 @@ def test_vsg_long_video(server, tmp_path):
 
 
 def test_error_handling(server):
+    # bad client input is a 400, not a 500 (missing video file)
     code, out = _req(server, "POST", "/synthesise", {"video_path": "/nope.npy"})
-    assert code == 500 and "error" in out
+    assert code == 400 and "cannot load video" in out["error"]
     code, out = _req(server, "GET", "/nope")
     assert code == 404
+
+
+def test_serve_real_checkpoints(tmp_path):
+    """Server built from SAVED checkpoints (orbax s1_*/g_*): hot-swapping two
+    different converted checkpoints changes the synthesized audio."""
+    from lip2speech_tpu.train.checkpoint import save_pytree
+
+    pipes_src = {"a": Lip2SpeechPipeline.initialize_random(TINY, seed=0, frames=8),
+                 "b": Lip2SpeechPipeline.initialize_random(TINY, seed=9, frames=8)}
+    pipelines = {}
+    for name, p in pipes_src.items():
+        s1_dir = tmp_path / name / "s1_00000001"
+        voc_dir = tmp_path / name / "g_00000001"
+        save_pytree(s1_dir, {"params": p.stage1_variables["params"],
+                             "batch_stats": p.stage1_variables.get("batch_stats", {}),
+                             "opt_state": {}, "step": np.zeros((), np.int32)})
+        save_pytree(voc_dir, {"generator": p.vocoder_params})
+        pipelines[name] = Lip2SpeechPipeline.from_checkpoints(TINY, s1_dir, voc_dir)
+
+    srv = make_server(port=0, pipelines=pipelines)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        rng = np.random.default_rng(2)
+        frames = rng.integers(0, 256, (16, 96, 96), dtype=np.uint8)
+        np.save(tmp_path / "clip.npy", frames)
+        body = {"video_path": str(tmp_path / "clip.npy")}
+
+        code, out_a = _req(srv, "POST", "/synthesise", body)
+        assert code == 200, out_a
+        code, _ = _req(srv, "POST", "/load_checkpoint", {"name": "b"})
+        assert code == 200
+        code, out_b = _req(srv, "POST", "/synthesise", body)
+        assert code == 200, out_b
+        wav_a = base64.b64decode(out_a["wav_base64"])
+        wav_b = base64.b64decode(out_b["wav_base64"])
+        assert wav_a != wav_b  # different weights -> different audio
+    finally:
+        srv.shutdown()
 
 
 def test_db_migrations(tmp_path):
