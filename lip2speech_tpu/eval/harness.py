@@ -38,9 +38,10 @@ def evaluate_pair(pred_wav: np.ndarray, gt_wav: np.ndarray,
     n = min(len(pred_wav), len(gt_wav))
     pred, gt = pred_wav[:n], gt_wav[:n]
     out = {"stoi": M.stoi(gt, pred, fs), "estoi": M.estoi(gt, pred, fs)}
-    p = M.pesq_score(gt, pred, fs)
-    if p is not None:
-        out["pesq"] = p
+    try:
+        out["pesq"] = M.pesq_score(gt, pred, fs)
+    except ValueError:
+        pass  # clip too short for P.862 (< 128 ms)
     return out
 
 

@@ -4,8 +4,9 @@ The reference evaluates with STOI/ESTOI/PESQ (README tables; SURVEY.md §6)
 computed by external packages, Whisper-WER + viseme distance in
 test_compare.py:14-130. Here STOI/ESTOI are implemented from the published
 algorithms (Taal et al. 2011; Jensen & Taal 2016) in numpy — numerically
-equivalent to pystoi. PESQ (ITU-T P.862) is gated behind the optional `pesq`
-package. WER is a standard word-level Levenshtein (jiwer equivalent).
+equivalent to pystoi. PESQ (ITU-T P.862) is in-tree (eval/pesq_p862.py),
+upgraded to the bit-exact ITU code when the optional `pesq` package is
+installed. WER is a standard word-level Levenshtein (jiwer equivalent).
 """
 
 from __future__ import annotations
@@ -127,13 +128,21 @@ def estoi(clean, degraded, fs: int = 16_000) -> float:
     return stoi(clean, degraded, fs, extended=True)
 
 
-def pesq_score(clean, degraded, fs: int = 16_000) -> float | None:
-    """ITU-T P.862 PESQ via the optional `pesq` package; None if unavailable."""
+def pesq_score(clean, degraded, fs: int = 16_000, mode: str = "nb") -> float:
+    """ITU-T P.862 PESQ MOS-LQO.
+
+    Uses the external `pesq` package when installed (bit-exact ITU code),
+    otherwise the in-tree implementation (eval/pesq_p862.py) so the
+    reference's STOI/ESTOI/PESQ metric triple (README.md:103-122) is
+    always computable in this image."""
     try:
         from pesq import pesq as _pesq
+
+        return float(_pesq(fs, np.asarray(clean), np.asarray(degraded), mode))
     except ImportError:
-        return None
-    return float(_pesq(fs, np.asarray(clean), np.asarray(degraded), "wb"))
+        from lip2speech_tpu.eval.pesq_p862 import pesq as _pesq_intree
+
+        return float(_pesq_intree(np.asarray(clean), np.asarray(degraded), fs, mode))
 
 
 # ---------------------------------------------------------------------------
