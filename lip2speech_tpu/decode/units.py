@@ -9,8 +9,9 @@ Because the per-step scores are independent of the beam history, the top-1
 beam hypothesis is exactly the per-step argmax over non-special tokens, ended
 at 2 x src_length. So the TPU-native decode is one masked argmax — no scan,
 no beam bookkeeping — which is also bit-identical to the reference WER
-artifacts. A beam wrapper is kept for API parity; it returns n-best lists by
-per-step top-k (the reference's beams differ only in low-ranked hypotheses).
+artifacts. `beam_units` keeps n-best API parity and is EXACT: with
+history-independent per-step scores, the n-best list is the n smallest
+total regrets vs the argmax sequence, enumerated by a best-first heap.
 """
 
 from __future__ import annotations
@@ -36,25 +37,59 @@ def argmax_units(unit_logits: jnp.ndarray, unit_mask: jnp.ndarray, num_special: 
 
 
 def beam_units(unit_logits: jnp.ndarray, unit_mask: jnp.ndarray, beam: int,
-               num_special: int = 4):
-    """n-best per-step top-k (API parity with beam=50 decode.yaml).
+               num_special: int = 4, return_scores: bool = False):
+    """EXACT n-best (API parity with beam=50 decode.yaml).
 
-    Hypothesis i substitutes the i-th best token at the single weakest
-    position — matching what an order-independent beam search ranks."""
-    lprobs = jax.nn.log_softmax(unit_logits[..., num_special:], axis=-1)
-    top_vals, top_idx = jax.lax.top_k(lprobs, beam)
-    best = top_idx[..., 0]
-    hyps = [jnp.where(unit_mask, best, -1)]
-    if beam > 1:
-        # margin between best and runner-up per step; weakest step flips first
-        margin = top_vals[..., 0] - top_vals[..., 1]
-        margin = jnp.where(unit_mask, margin, jnp.inf)
-        weakest = jnp.argmin(margin, axis=-1)
-        for k in range(1, beam):
-            alt = best.at[jnp.arange(best.shape[0]), weakest].set(
-                top_idx[jnp.arange(best.shape[0]), weakest, k])
-            hyps.append(jnp.where(unit_mask, alt, -1))
-    return jnp.stack(hyps, axis=1)  # (B, beam, T2)
+    Because the reference generator's per-step scores are independent of
+    beam history (sequence_generator.py:253-256), a sequence's score is a
+    sum of independent per-step log-probs, and the true n-best list is the
+    n smallest total "regrets" vs the per-step argmax. Enumerated exactly
+    with a best-first heap over swap sets (each hypothesis = which steps
+    deviate to which alternative rank); verified against exhaustive
+    enumeration in tests/test_losses_decode.py."""
+    import heapq
+
+    lprobs = np.asarray(jax.nn.log_softmax(unit_logits[..., num_special:], axis=-1))
+    mask = np.asarray(unit_mask)
+    b, t, v = lprobs.shape
+    k = min(beam, v)
+    # per step: candidates sorted best-first, regret[j] = lp[0] - lp[j] >= 0
+    order = np.argsort(-lprobs, axis=-1, kind="stable")[..., :k]   # (B,T,k)
+    sorted_lp = np.take_along_axis(lprobs, order, axis=-1)
+    regret = sorted_lp[..., :1] - sorted_lp                         # (B,T,k)
+
+    all_hyps = np.full((b, beam, t), -1, np.int64)
+    all_scores = np.full((b, beam), -np.inf)
+    for i in range(b):
+        valid = np.nonzero(mask[i])[0]
+        base_score = float(sorted_lp[i, valid, 0].sum()) if len(valid) else 0.0
+        # heap entries: (total_regret, swaps) with swaps a sorted tuple of
+        # (position_index_into_valid, alternative_rank >= 1)
+        heap = [(0.0, ())]
+        seen = {()}
+        n_out = 0
+        while heap and n_out < beam:
+            reg, swaps = heapq.heappop(heap)
+            seq = order[i, :, 0].copy()
+            for p, j in swaps:
+                seq[valid[p]] = order[i, valid[p], j]
+            all_hyps[i, n_out] = np.where(mask[i], seq, -1)
+            all_scores[i, n_out] = base_score - reg
+            n_out += 1
+            swapped = dict(swaps)
+            for p in range(len(valid)):
+                j = swapped.get(p, 0)
+                if j + 1 < k:
+                    nxt = tuple(sorted({**swapped, p: j + 1}.items()))
+                    if nxt not in seen:
+                        seen.add(nxt)
+                        step_reg = (regret[i, valid[p], j + 1]
+                                    - regret[i, valid[p], j])
+                        heapq.heappush(heap, (reg + float(step_reg), nxt))
+    hyps = jnp.asarray(all_hyps)
+    if return_scores:
+        return hyps, jnp.asarray(all_scores)
+    return hyps  # (B, beam, T2)
 
 
 def units_to_text(units: np.ndarray) -> str:

@@ -91,6 +91,45 @@ def test_beam_units_top1_equals_argmax():
     assert not np.array_equal(beams[:, 0], beams[:, 1])
 
 
+def test_beam_units_exact_nbest_vs_exhaustive():
+    """beam_units must return the true n-best sequences by total log-prob —
+    verified against exhaustive enumeration over all V^T sequences."""
+    import itertools
+
+    import jax
+
+    num_special = 2
+    V, T, BEAM = 4, 4, 10
+    rng = np.random.default_rng(11)
+    logits = rng.standard_normal((2, T, num_special + V), dtype=np.float32)
+    mask = np.array([[1, 1, 1, 1], [1, 1, 1, 0]], bool)
+
+    hyps, scores = dec.beam_units(
+        jnp.asarray(logits), jnp.asarray(mask), beam=BEAM,
+        num_special=num_special, return_scores=True)
+    hyps, scores = np.asarray(hyps), np.asarray(scores)
+
+    lp = np.asarray(jax.nn.log_softmax(logits[..., num_special:], -1))
+    for i in range(2):
+        valid = np.nonzero(mask[i])[0]
+        all_seqs = []
+        for combo in itertools.product(range(V), repeat=len(valid)):
+            s = sum(lp[i, t, c] for t, c in zip(valid, combo))
+            all_seqs.append((float(s), combo))
+        all_seqs.sort(key=lambda x: -x[0])
+        for n in range(BEAM):
+            np.testing.assert_allclose(scores[i, n], all_seqs[n][0], rtol=1e-5)
+            # sequences with tied scores may legally permute; check the
+            # returned hypothesis has exactly the claimed score
+            got = tuple(hyps[i, n, t] for t in valid)
+            got_score = sum(lp[i, t, c] for t, c in zip(valid, got))
+            np.testing.assert_allclose(got_score, all_seqs[n][0], rtol=1e-5)
+        # n-best set is unique
+        seen = {tuple(h[valid]) for h in hyps[i]}
+        assert len(seen) == BEAM
+        assert (hyps[i][:, ~mask[i]] == -1).all()
+
+
 def test_unit_wer():
     assert dec.unit_wer([[1, 2, 3]], [[1, 2, 3]]) == 0.0
     assert dec.unit_wer([[1, 2]], [[1, 2, 3]]) == pytest.approx(1 / 3)
