@@ -42,7 +42,8 @@ def init_sample(video_path: Path, audio_path: Path, out_root: Path, rel_id: str,
                 landmarks_path: Path | None = None,
                 spk_emb_path: Path | None = None,
                 mean_face: np.ndarray | None = None,
-                speaker_params: dict | None = None) -> Utterance:
+                speaker_params: dict | None = None,
+                auto_landmarks: bool = False) -> Utterance:
     """Prepare one utterance into the dataset tree layout
     (video/ audio/ mel/ spk_emb/ landmark/ — reference config.py:39-49).
 
@@ -50,11 +51,16 @@ def init_sample(video_path: Path, audio_path: Path, out_root: Path, rel_id: str,
     from the clip's own audio (speaker_params; replaces the reference's RTVC
     speaker-embedding sidecar, helpers.py:185-198) > zeros."""
     frames = load_video_gray(video_path)
-    if landmarks_path is not None:
+    if landmarks_path is not None or auto_landmarks:
         from lip2speech_tpu.pipeline.mouth_crop import (
             crop_mouth_sequence, default_mean_face)
 
-        lms = list(np.load(landmarks_path))
+        if landmarks_path is not None:
+            lms = list(np.load(landmarks_path))
+        else:   # dlib-free in-process detection (raw video, no sidecar)
+            from lip2speech_tpu.pipeline.landmarks import HeuristicLandmarks
+
+            lms = HeuristicLandmarks()(frames)
         frames = crop_mouth_sequence(
             frames, lms, mean_face if mean_face is not None else default_mean_face())
 
@@ -231,6 +237,9 @@ def main():
     p_init.add_argument("--landmarks", nargs="*", default=None,
                         help="per-clip 68-point landmark .npy files (raw video "
                              "is mouth-cropped in-process)")
+    p_init.add_argument("--auto-landmarks", action="store_true",
+                        help="raw video without landmark files: detect with "
+                             "the in-tree dlib-free HeuristicLandmarks")
     p_init.add_argument("--spk-embs", nargs="*", default=None,
                         help="per-clip precomputed speaker-embedding .npy files")
     p_init.add_argument("--speaker-encoder", default=None,
@@ -270,7 +279,8 @@ def main():
             return init_sample(Path(v), Path(a), out_root,
                                f"{args.split}/clip/{i:05d}",
                                landmarks_path=lm, spk_emb_path=se,
-                               speaker_params=speaker_params)
+                               speaker_params=speaker_params,
+                               auto_landmarks=args.auto_landmarks)
 
         n = len(args.videos)
         if args.workers > 1:

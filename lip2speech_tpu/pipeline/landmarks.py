@@ -11,6 +11,11 @@ Providers:
     the reference's preparation pipeline also writes)
   DlibLandmarks        — wraps dlib when installed, with the reference's
     every-nth-frame + interpolation policy
+  HeuristicLandmarks   — in-image-runnable (no dlib): local-variance face
+    box + canonical mean-shape placement + gradient mouth refinement. The
+    crop geometry consumes only the stable points and the mouth-region
+    center, so a box-aligned mean shape reproduces the reference's 96x96
+    mouth ROI for roughly frontal faces.
 """
 
 from __future__ import annotations
@@ -88,6 +93,112 @@ class DlibLandmarks:
                 continue
             shape = self.predictor(frame, rect)
             out.append(np.array([[p.x, p.y] for p in shape.parts()], np.float64))
+        return out
+
+
+def detect_face_box(gray: np.ndarray, min_rel_size: float = 0.15):
+    """Face bounding box from a local-variance saliency map.
+
+    Faces are the high-texture blob in a talking-head frame (the serving
+    envelope: <= 480x360 close-ups, reference config.py:20-30). Local std is
+    computed with box filters, thresholded, and the box taken from weighted
+    coordinate quantiles — robust to plain/gradient backgrounds, no dlib.
+    Returns (x0, y0, x1, y1) or None.
+    """
+    from scipy.ndimage import uniform_filter
+
+    g = gray.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=-1)
+    h, w = g.shape
+    k = max(5, min(h, w) // 10)
+    mean = uniform_filter(g, k)
+    var = np.clip(uniform_filter(g * g, k) - mean * mean, 0.0, None)
+    sal = np.sqrt(var)
+    peak = sal.max()
+    if peak <= 1e-6:
+        return None
+    wgt = np.where(sal > 0.3 * peak, sal, 0.0)
+    total = wgt.sum()
+    if total <= 0:
+        return None
+
+    def _span(axis):
+        p = wgt.sum(axis=axis)
+        c = np.cumsum(p) / p.sum()
+        lo = int(np.searchsorted(c, 0.02))
+        hi = int(np.searchsorted(c, 0.98))
+        return lo, hi + 1
+
+    x0, x1 = _span(0)
+    y0, y1 = _span(1)
+    if (x1 - x0) < min_rel_size * w or (y1 - y0) < min_rel_size * h:
+        return None
+    return (x0, y0, x1, y1)
+
+
+class HeuristicLandmarks:
+    """Landmark estimator that runs in this image (dlib-free raw-video path).
+
+    Per the reference's detection policy (face_landmarks_server.py:55-347 +
+    config.py:64): detect on every `nth_frame`, reuse the previous box in
+    between. Landmarks are the canonical 68-pt mean shape
+    (mouth_crop.default_mean_face) scaled into the detected box, with the
+    mouth points (48-67) re-centered on the strongest horizontal-gradient
+    band in the lower half of the box (lips are the highest-contrast
+    horizontal structure there).
+    """
+
+    def __init__(self, nth_frame: int = DETECTION_NTH_FRAME,
+                 refine_mouth: bool = True):
+        self.nth_frame = nth_frame
+        self.refine_mouth = refine_mouth
+
+    def _place_shape(self, box, frame: np.ndarray) -> np.ndarray:
+        from lip2speech_tpu.pipeline.mouth_crop import default_mean_face
+
+        canon = default_mean_face()
+        cmin, cmax = canon.min(axis=0), canon.max(axis=0)
+        x0, y0, x1, y1 = box
+        scale = np.array([(x1 - x0) / (cmax[0] - cmin[0]),
+                          (y1 - y0) / (cmax[1] - cmin[1])])
+        pts = (canon - cmin) * scale + np.array([x0, y0], np.float64)
+        if self.refine_mouth:
+            c = self._mouth_center(frame, box)
+            if c is not None:
+                pts[48:68] += c - pts[48:68].mean(axis=0)
+        return pts
+
+    @staticmethod
+    def _mouth_center(frame: np.ndarray, box) -> np.ndarray | None:
+        g = frame.astype(np.float64)
+        if g.ndim == 3:
+            g = g.mean(axis=-1)
+        x0, y0, x1, y1 = box
+        bh, bw = y1 - y0, x1 - x0
+        ry0, ry1 = y0 + int(0.55 * bh), y0 + int(0.95 * bh)
+        rx0, rx1 = x0 + int(0.25 * bw), x0 + int(0.75 * bw)
+        region = g[ry0:ry1, rx0:rx1]
+        if region.shape[0] < 3 or region.shape[1] < 3:
+            return None
+        grad = np.abs(np.diff(region, axis=0))
+        row_e = grad.sum(axis=1)
+        if row_e.sum() <= 1e-9:
+            return None
+        my = ry0 + float(np.argmax(row_e)) + 0.5
+        band = grad[max(0, int(np.argmax(row_e)) - 2): int(np.argmax(row_e)) + 3]
+        col_e = band.sum(axis=0)
+        mx = rx0 + (float((col_e * np.arange(len(col_e))).sum() / col_e.sum())
+                    if col_e.sum() > 0 else 0.5 * (rx1 - rx0))
+        return np.array([mx, my], np.float64)
+
+    def __call__(self, frames: np.ndarray) -> list[np.ndarray | None]:
+        out: list[np.ndarray | None] = []
+        box = None
+        for i, frame in enumerate(frames):
+            if i % self.nth_frame == 0 or box is None:
+                box = detect_face_box(frame) or box
+            out.append(None if box is None else self._place_shape(box, frame))
         return out
 
 

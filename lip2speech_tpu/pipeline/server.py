@@ -202,6 +202,18 @@ class Handler(BaseHTTPRequestHandler):
 
             frames = extract_mouth_video(
                 frames, PrecomputedLandmarks(body["landmarks_path"]))
+        elif body.get("detect_landmarks"):
+            # raw video, NO landmarks: in-process dlib-free detector
+            # (replaces the reference's dlib sidecar service,
+            # face_landmarks_server.py:55-347)
+            from lip2speech_tpu.pipeline.landmarks import (
+                HeuristicLandmarks, extract_mouth_video)
+
+            try:
+                frames = extract_mouth_video(frames, HeuristicLandmarks())
+            except ValueError as e:   # no face found in any frame
+                self._json(400, {"error": str(e)})
+                return
         if "spk_emb_path" in body:
             spk = np.load(body["spk_emb_path"]).astype(np.float32)
         elif "spk_wav_path" in body and self.state.speaker_params is not None:
