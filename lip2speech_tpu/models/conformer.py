@@ -52,7 +52,10 @@ class RelPositionMultiHeadAttention(nn.Module):
     dim: int
     heads: int
     dropout: float = 0.0
-    use_flash: bool = False   # Pallas rel-flash kernel (no attn-dropout path)
+    use_flash: bool = False   # Pallas rel-flash kernel: differentiable
+                              # (flash fwd + dense-recompute bwd); the only
+                              # unsupported case is attention-dropout > 0 in
+                              # training, which falls back to the dense path
 
     @nn.compact
     def __call__(self, x, pos_emb, mask, deterministic: bool = True):
@@ -68,8 +71,10 @@ class RelPositionMultiHeadAttention(nn.Module):
         bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, dk))
         bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, dk))
 
-        # Pallas rel-flash kernel (no attn-dropout path): compiled on TPU
-        # (the band shear runs as log2 static rolls), interpret mode elsewhere
+        # Pallas rel-flash kernel: compiled on TPU (the band shear runs as
+        # log2 static rolls), interpret mode elsewhere; differentiable via
+        # dense-recompute VJP, so it serves training too (unless attention
+        # dropout is active — flash cannot drop attn weights in-kernel)
         if self.use_flash and (deterministic or self.dropout == 0.0):
             from lip2speech_tpu.ops.pallas_rel_attention import rel_flash_attention
 

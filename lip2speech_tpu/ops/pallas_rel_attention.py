@@ -18,6 +18,13 @@ one never-read junk row at the front to keep Gp lane-aligned.
 Scores = (AC + BD)/sqrt(dk) stream through an online softmax, so the (T, T)
 score tensor never hits HBM (at T=1200 that is ~180 MB/layer saved).
 Runs compiled on TPU; interpret mode elsewhere.
+
+Training: `rel_flash_attention` carries a custom VJP — flash kernel on the
+forward (nothing quadratic saved), dense recompute on the backward (the
+(T, T) probabilities exist only transiently inside the backward, exactly
+like a rematerialized dense layer). Gradients are those of the dense
+reference math; parity vs autodiff-through-dense is tested in
+tests/test_pallas_rel_attention.py.
 """
 
 from __future__ import annotations
@@ -107,8 +114,27 @@ def _kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref, o_ref,
     o_ref[0, :, :] = (acc / jnp.maximum(l, 1e-20)[:, None]).astype(o_ref.dtype)
 
 
+def dense_rel_attention(q_u, q_v, k, v, p, mask):
+    """Dense reference math (the exact non-flash conformer path): used as
+    the interpret-mode oracle and as the recompute function in the VJP."""
+    b, h, t, dk = q_u.shape
+    scale = 1.0 / np.sqrt(dk)
+    ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
+    bd = jnp.einsum("bhqd,hpd->bhqp", q_v, p)
+    # generalized rel_shift: bd[..., i, j] wants table row (T-1) - i + j
+    bd = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    bd = bd.reshape(b, h, 2 * t, t)[:, :, 1:, :]
+    bd = bd.reshape(b, h, t, 2 * t - 1)[:, :, :, :t]
+    s = (ac + bd) * scale
+    m = mask[:, None, None, :]
+    s = jnp.where(m, s, NEG_INF)
+    attn = jax.nn.softmax(s, axis=-1)
+    attn = jnp.where(m, attn, 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def rel_flash_attention(
+def _rel_flash_impl(
     q_u: jnp.ndarray,     # (B, H, T, dk)  query + pos_bias_u
     q_v: jnp.ndarray,     # (B, H, T, dk)  query + pos_bias_v
     k: jnp.ndarray,       # (B, H, T, dk)
@@ -158,3 +184,41 @@ def rel_flash_attention(
         interpret=interpret,
     )(qu, qv, kf, vf, p, maskf)
     return out.reshape(b, h, t_pad, dk)[:, :, :t, :]
+
+
+# ---------------------------------------------------------------------------
+# differentiable entry point: flash forward, dense-recompute backward
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _rel_flash(block, interpret, q_u, q_v, k, v, p, mask):
+    return _rel_flash_impl(q_u, q_v, k, v, p, mask,
+                           block=block, interpret=interpret)
+
+
+def _rel_flash_fwd(block, interpret, q_u, q_v, k, v, p, mask):
+    out = _rel_flash_impl(q_u, q_v, k, v, p, mask,
+                          block=block, interpret=interpret)
+    return out, (q_u, q_v, k, v, p, mask)
+
+
+def _rel_flash_bwd(block, interpret, residuals, g):
+    q_u, q_v, k, v, p, mask = residuals
+    _, vjp = jax.vjp(
+        lambda a, b, c, d, e: dense_rel_attention(a, b, c, d, e, mask),
+        q_u, q_v, k, v, p)
+    dq_u, dq_v, dk_, dv_, dp_ = vjp(g)
+    dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return dq_u, dq_v, dk_, dv_, dp_, dmask
+
+
+_rel_flash.defvjp(_rel_flash_fwd, _rel_flash_bwd)
+
+
+def rel_flash_attention(q_u, q_v, k, v, p, mask,
+                        block: int = 128, interpret: bool = False):
+    """Flash rel-attention, differentiable: Pallas kernel forward (O(T)
+    memory, nothing quadratic saved), dense recompute in the backward —
+    the (T, T) probabilities exist only transiently during grad."""
+    return _rel_flash(block, interpret, q_u, q_v, k, v, p, mask)
