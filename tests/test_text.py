@@ -88,3 +88,106 @@ def test_ctc_beam_matches_exhaustive_on_tiny_problem():
     labels, score = ctc_beam_search(lp, beam_width=32)
     assert tuple(labels) == best_true[0]
     np.testing.assert_allclose(score, best_true[1], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# In-tree sentencepiece-unigram (UnigramTokenizer)
+# ---------------------------------------------------------------------------
+
+REF_VOCAB = "/root/reference/multi_target_lip2speech/data/lrs2lrs3_lower.vocab"
+
+
+def _tiny_vocab(tmp_path):
+    rows = [("<pad>", 0.0), ("<sos>", 0.0), ("<eos>", 0.0), ("<unk>", 0.0),
+            ("▁", -4.0), ("a", -3.0), ("b", -3.5), ("ab", -4.5),
+            ("▁ab", -2.0), ("▁a", -5.0), ("ba", -1.0)]
+    p = tmp_path / "tiny.vocab"
+    p.write_text("\n".join(f"{w}\t{s}" for w, s in rows), encoding="utf-8")
+    return p
+
+
+def test_unigram_viterbi_matches_bruteforce(tmp_path):
+    from itertools import combinations
+
+    from lip2speech_tpu.data.text import UnigramTokenizer
+
+    tok = UnigramTokenizer(_tiny_vocab(tmp_path))
+    text = "abab a"
+    s = tok._normalize(text)
+
+    def all_segmentations(i):
+        if i == len(s):
+            yield []
+            return
+        for j in range(i + 1, len(s) + 1):
+            piece = s[i:j]
+            pid = tok.piece_to_id.get(piece)
+            if pid is not None and pid not in tok.specials:
+                for rest in all_segmentations(j):
+                    yield [pid] + rest
+            if j == i + 1:  # unk single char
+                for rest in all_segmentations(j):
+                    yield [tok.unk_id] + rest
+
+    def score(ids_):
+        return sum(tok.unk_score if i == tok.unk_id else tok.scores[i]
+                   for i in ids_)
+
+    best = max(all_segmentations(0), key=score)
+    got = list(tok.encode(text))
+    np.testing.assert_allclose(score(got), score(best), rtol=1e-9)
+
+
+def test_unigram_reference_vocab_roundtrip():
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.exists(REF_VOCAB):
+        _pytest.skip("reference vocab not available")
+    from lip2speech_tpu.data.text import UnigramTokenizer
+
+    tok = UnigramTokenizer(REF_VOCAB)
+    assert tok.vocab_size == 4000
+    text = "the quick brown fox jumps over the lazy dog"
+    ids = tok.encode(text)
+    assert ids.dtype == np.int64 and (ids >= 0).all() and (ids < 4000).all()
+    assert tok.decode(ids) == text
+    # "the" is a whole trained piece (vocab line 6)
+    the = tok.encode("the")
+    assert len(the) == 1 and tok.pieces[int(the[0])] == "▁the"
+    # segmentation beats naive char-level splitting
+    char_ids = [tok.piece_to_id.get(c, tok.unk_id) for c in tok._normalize(text)]
+    assert tok.scores[ids].sum() > sum(
+        tok.unk_score if i == tok.unk_id else tok.scores[i] for i in char_ids)
+
+
+def test_sentence_processor_unigram_mode():
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.exists(REF_VOCAB):
+        _pytest.skip("reference vocab not available")
+    # .model path with no sentencepiece installed falls back to sibling .vocab
+    sp = SentenceProcessor(REF_VOCAB.replace(".vocab", ".model"))
+    assert sp.num_classes == 4000
+    out = sp.decode(sp.encode("hello world"))
+    assert out == "hello world"
+    # CTC blank stays 0 (<pad>), matching reference helpers.py blank=0
+    assert sp.blank == 0
+
+
+def test_unigram_unknown_characters():
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.exists(REF_VOCAB):
+        _pytest.skip("reference vocab not available")
+    from lip2speech_tpu.data.text import UnigramTokenizer
+
+    tok = UnigramTokenizer(REF_VOCAB)
+    ids = tok.encode("café ☃")        # é + snowman
+    assert tok.unk_id in set(int(i) for i in ids)
+    assert "⁇" in tok.decode(ids)
