@@ -9,7 +9,11 @@ dynamic KV caches under XLA's static-shape model).
 Semantics implemented from the fairseq beam: length-normalized scores
 (len_penalty power), EOS finalization (finished beams frozen, their score
 fixed), top-k over beam*vocab with the standard 2*beam candidate trick
-collapsed to beam (EOS rows absorb), unk/pad banned.
+collapsed to beam (EOS rows absorb), unk/pad banned, repeat-ngram blocking
+(sequence_generator.py NGramRepeatBlock semantics: ban any token that would
+complete an n-gram already present in the hypothesis) and prefix-token
+forcing (the first P steps are constrained to given tokens, keeping the
+model's log-prob of the forced token, fairseq _prefix_tokens).
 """
 
 from __future__ import annotations
@@ -25,7 +29,8 @@ NEG = -1e30
 
 @functools.partial(jax.jit, static_argnames=("score_prefix", "batch_size",
                                              "beam", "max_len", "bos", "eos",
-                                             "pad", "unk", "len_penalty"))
+                                             "pad", "unk", "len_penalty",
+                                             "no_repeat_ngram_size"))
 def beam_search(
     score_prefix: Callable,    # (tokens (N, max_len+1), step) -> (N, V) logits at step
     batch_size: int,
@@ -36,12 +41,16 @@ def beam_search(
     pad: int = 1,
     unk: int = 3,
     len_penalty: float = 1.0,
+    no_repeat_ngram_size: int = 0,
+    prefix_tokens: jnp.ndarray | None = None,   # (B, P) forced first tokens
 ):
     """Returns (tokens (B, beam, max_len+1), scores (B, beam)) sorted best-first."""
     n = batch_size * beam
     tokens = jnp.full((n, max_len + 1), pad, jnp.int32).at[:, 0].set(bos)
     scores = jnp.tile(jnp.array([0.0] + [NEG] * (beam - 1)), (batch_size,))  # (N,)
     finished = jnp.zeros((n,), bool)
+    forced_all = (None if prefix_tokens is None
+                  else jnp.repeat(prefix_tokens.astype(jnp.int32), beam, axis=0))
 
     def step_fn(carry, step):
         tokens, scores, finished = carry
@@ -51,6 +60,37 @@ def beam_search(
         lprobs = lprobs.at[:, pad].set(NEG).at[:, unk].set(NEG)
         if bos != eos:
             lprobs = lprobs.at[:, bos].set(NEG)
+
+        if no_repeat_ngram_size > 1:
+            # ban tokens completing an n-gram already in the hypothesis
+            # (fairseq NGramRepeatBlock; windows including BOS are harmless
+            # since BOS never recurs). Static window stack, dynamic suffix.
+            nsz = no_repeat_ngram_size
+            n_win = max_len + 2 - nsz
+            if n_win > 0:
+                win = jnp.stack([tokens[:, t: t + n_win]
+                                 for t in range(nsz - 1)], axis=-1)  # (N,S,n-1)
+                st = jnp.clip(step - nsz + 2, 0, max_len + 2 - nsz)
+                suffix = jax.lax.dynamic_slice_in_dim(
+                    tokens, st, nsz - 1, axis=1)                     # (N, n-1)
+                starts = jnp.arange(n_win)
+                gate = (starts + nsz - 1 <= step) & (step >= nsz - 1)
+                hits = jnp.all(win == suffix[:, None, :], -1) & gate[None, :]
+                nxt = tokens[:, nsz - 1: nsz - 1 + n_win]            # (N, S)
+                ban = jnp.zeros((n, v), jnp.int32).at[
+                    jnp.arange(n)[:, None], nxt].max(hits.astype(jnp.int32))
+                lprobs = jnp.where(ban > 0, NEG, lprobs)
+
+        if forced_all is not None:
+            # constrained decoding: step < P must take prefix_tokens[:, step]
+            # at the model's own log-prob (fairseq _prefix_tokens)
+            plen = forced_all.shape[1]
+            tok_f = jax.lax.dynamic_slice_in_dim(
+                forced_all, jnp.minimum(step, plen - 1), 1, axis=1)[:, 0]
+            kept = jnp.take_along_axis(lprobs, tok_f[:, None], 1)[:, 0]
+            only = jnp.full_like(lprobs, NEG).at[jnp.arange(n), tok_f].set(kept)
+            lprobs = jnp.where(step < plen, only, lprobs)
+
         # force EOS continuation (score 0) for finished rows
         frozen = jnp.full((v,), NEG).at[eos].set(0.0)
         lprobs = jnp.where(finished[:, None], frozen[None, :], lprobs)

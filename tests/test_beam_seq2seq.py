@@ -147,3 +147,63 @@ def test_decoder_with_beam_end_to_end():
             break
         greedy.append(t)
     assert hyp == greedy
+
+
+def test_no_repeat_ngram_blocking():
+    """A scorer that loves the loop 4,5,4,5 must be broken by
+    no_repeat_ngram_size=2: no bigram may appear twice in a hypothesis."""
+    def loopy_score(tokens, step):
+        # prefer alternating 4,5 forever: logits favor 5 after 4, 4 after 5
+        last = jnp.take_along_axis(tokens, jnp.full((tokens.shape[0], 1), step,
+                                                    jnp.int32), 1)[:, 0]
+        base = jnp.full((tokens.shape[0], V), -3.0)
+        base = jnp.where((last == 4)[:, None],
+                         base.at[:, 5].set(5.0), base.at[:, 4].set(5.0))
+        return base
+
+    tokens, _ = beam_search(loopy_score, batch_size=1, beam=4, max_len=6,
+                            bos=BOS, eos=EOS, pad=PAD, unk=UNK,
+                            no_repeat_ngram_size=2)
+    for k in range(4):
+        seq = [BOS] + strip_sequence(np.asarray(tokens[0, k]))
+        bigrams = list(zip(seq, seq[1:]))
+        assert len(bigrams) == len(set(bigrams)), seq
+    # sanity: without blocking, the top beam IS the repeating loop
+    tokens2, _ = beam_search(loopy_score, batch_size=1, beam=4, max_len=6,
+                             bos=BOS, eos=EOS, pad=PAD, unk=UNK)
+    seq2 = strip_sequence(np.asarray(tokens2[0, 0]))
+    bigrams2 = list(zip(seq2, seq2[1:]))
+    assert len(bigrams2) > len(set(bigrams2)), seq2
+
+
+def test_prefix_tokens_forcing():
+    """Forced prefix appears verbatim in every beam; the continuation is the
+    exhaustive optimum among sequences with that prefix."""
+    score = _random_scorer(4)
+    prefix = jnp.asarray([[5, 4]], jnp.int32)
+    tokens, scores = beam_search(score, batch_size=1, beam=32, max_len=MAXLEN,
+                                 bos=BOS, eos=EOS, pad=PAD, unk=UNK,
+                                 prefix_tokens=prefix)
+    toks = np.asarray(tokens)
+    for k in range(32):
+        seq = strip_sequence(toks[0, k])
+        if np.asarray(scores)[0, k] < -1e20:
+            continue
+        assert seq[:2] == [5, 4], seq
+
+    best = strip_sequence(toks[0, 0])
+    best_score = float(scores[0, 0])
+
+    candidates = []
+    inner = [4, 5, EOS]
+    for L in range(3, MAXLEN + 1):
+        for tail in itertools.product(inner, repeat=L - 2):
+            seq = (5, 4) + tail
+            if EOS in seq[:-1]:
+                continue
+            if seq[-1] == EOS or L == MAXLEN:
+                candidates.append(seq)
+    scored = [(_sequence_logprob(score, s) / len(s), s) for s in candidates]
+    ref_score, ref_seq = max(scored, key=lambda kv: kv[0])
+    assert best == [t for t in ref_seq if t != EOS], (best, ref_seq)
+    np.testing.assert_allclose(best_score, ref_score, rtol=1e-4)
