@@ -141,7 +141,8 @@ class Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path == "/demo":
-            body = DEMO_HTML.encode()
+            port = getattr(self.state, "streaming_port", None)
+            body = DEMO_HTML.replace("__STREAM_PORT__", str(port or 0)).encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
             self.send_header("Content-Length", str(len(body)))
@@ -259,12 +260,13 @@ class Handler(BaseHTTPRequestHandler):
         self._json(200, out)
 
 
-# Minimal demo page (reference templates/demo.html + vsg.html equivalent):
-# synthesize a server-local clip by path and play the result.
+# Demo page (reference templates/demo.html + vsg.html equivalent):
+# path-based synthesis + a webcam capture UI streaming frames over the
+# websocket endpoint (reference SocketIO 'frame'/'end_stream' path).
 DEMO_HTML = """<!doctype html>
 <html><head><title>lip2speech-tpu demo</title><style>
 body{font-family:sans-serif;max-width:640px;margin:2em auto}
-input{width:100%%;margin:4px 0;padding:6px}button{padding:8px 16px}
+input{width:100%;margin:4px 0;padding:6px}button{padding:8px 16px}
 </style></head><body>
 <h2>lip2speech-tpu</h2>
 <p>Silent mouth-ROI video &rarr; 16 kHz speech, one jitted TPU program.</p>
@@ -273,6 +275,12 @@ input{width:100%%;margin:4px 0;padding:6px}button{padding:8px 16px}
 <label>Landmarks path (optional, raw video)</label><input id="l">
 <button onclick="go()">Synthesise</button>
 <p id="status"></p><audio id="player" controls></audio>
+<h3>Webcam streaming</h3>
+<button id="wstart" onclick="startCam()">Start webcam</button>
+<button id="wstop" onclick="stopCam()" disabled>Stop &amp; synthesise</button>
+<video id="cam" width="160" height="120" autoplay muted playsinline></video>
+<canvas id="cap" width="160" height="120" style="display:none"></canvas>
+<p id="wstatus"></p><audio id="wplayer" controls></audio>
 <script>
 async function go(){
   const body={video_path:document.getElementById('v').value};
@@ -287,6 +295,55 @@ async function go(){
   const wav=Uint8Array.from(atob(j.wav_base64),c=>c.charCodeAt(0));
   document.getElementById('player').src=
     URL.createObjectURL(new Blob([wav],{type:'audio/wav'}));
+}
+let ws=null,timer=null,idx=0;
+function b64(bytes){let s='';for(let i=0;i<bytes.length;i+=4096)
+  s+=String.fromCharCode.apply(null,bytes.subarray(i,i+4096));return btoa(s);}
+function startCam(){
+  const port=__STREAM_PORT__;
+  const st=document.getElementById('wstatus');
+  if(!port){st.textContent='start the server with --streaming-port';return;}
+  navigator.mediaDevices.getUserMedia({video:{width:160,height:120}}).then(stream=>{
+    const v=document.getElementById('cam');v.srcObject=stream;
+    ws=new WebSocket('ws://'+location.hostname+':'+port);
+    ws.onmessage=ev=>{const m=JSON.parse(ev.data);
+      if(m.type==='result'){st.textContent=m.num_samples+' samples';
+        document.getElementById('wplayer').src=
+          URL.createObjectURL(pcm16ToWav(m.wav_base64,m.sample_rate));}
+      else if(m.type==='error'){st.textContent='error: '+m.error;}};
+    ws.onopen=()=>{idx=0;
+      const c=document.getElementById('cap'),ctx=c.getContext('2d');
+      timer=setInterval(()=>{ctx.drawImage(v,0,0,160,120);
+        const d=ctx.getImageData(0,0,160,120).data;
+        const g=new Uint8Array(160*120);
+        for(let i=0;i<g.length;i++)
+          g[i]=(d[4*i]*299+d[4*i+1]*587+d[4*i+2]*114)/1000;
+        ws.send(JSON.stringify({type:'frame',index:idx++,width:160,
+          height:120,data:b64(g)}));},40);   // 25 fps (reference config FPS)
+      document.getElementById('wstart').disabled=true;
+      document.getElementById('wstop').disabled=false;
+      st.textContent='streaming at 25 fps...';};
+  }).catch(e=>{st.textContent='webcam: '+e;});
+}
+function stopCam(){
+  clearInterval(timer);
+  const v=document.getElementById('cam');
+  if(v.srcObject){v.srcObject.getTracks().forEach(t=>t.stop());v.srcObject=null;}
+  document.getElementById('wstatus').textContent='synthesising...';
+  ws.send(JSON.stringify({type:'end_stream',detect_landmarks:true}));
+  document.getElementById('wstart').disabled=false;
+  document.getElementById('wstop').disabled=true;
+}
+function pcm16ToWav(b,rate){
+  const pcm=Uint8Array.from(atob(b),c=>c.charCodeAt(0));
+  const h=new ArrayBuffer(44);const dv=new DataView(h);
+  const w=(o,s)=>{for(let i=0;i<s.length;i++)dv.setUint8(o+i,s.charCodeAt(i));};
+  w(0,'RIFF');dv.setUint32(4,36+pcm.length,true);w(8,'WAVEfmt ');
+  dv.setUint32(16,16,true);dv.setUint16(20,1,true);dv.setUint16(22,1,true);
+  dv.setUint32(24,rate,true);dv.setUint32(28,rate*2,true);
+  dv.setUint16(32,2,true);dv.setUint16(34,16,true);w(36,'data');
+  dv.setUint32(40,pcm.length,true);
+  return new Blob([h,pcm],{type:'audio/wav'});
 }
 </script></body></html>"""
 
@@ -354,6 +411,7 @@ def main():
         from lip2speech_tpu.pipeline.streaming import start_streaming_thread
 
         start_streaming_thread(state, port=args.streaming_port)
+        state.streaming_port = args.streaming_port   # advertised in /demo
         print(f"streaming on :{args.streaming_port}")
     print(f"serving on :{args.port}")
     server.serve_forever()

@@ -37,6 +37,21 @@ async def _handle(ws, state: ServerState):
                 continue
             ordered = np.stack([frames[i] for i in sorted(frames)])
             loop = asyncio.get_running_loop()
+            if msg.get("detect_landmarks"):
+                # raw webcam frames: in-process face box + mean-shape crop
+                # (the reference detects per-frame via its dlib sidecar,
+                # server.py:359-449)
+                from lip2speech_tpu.pipeline.landmarks import (
+                    HeuristicLandmarks, extract_mouth_video)
+
+                try:
+                    ordered = await loop.run_in_executor(
+                        None, lambda o=ordered: extract_mouth_video(
+                            o, HeuristicLandmarks()))
+                except ValueError as e:
+                    await ws.send(json.dumps({"type": "error", "error": str(e)}))
+                    frames.clear()
+                    continue
             wav = await loop.run_in_executor(
                 None, lambda: _synthesise_frames(
                     state, ordered, state.default_spk_emb))

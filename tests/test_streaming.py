@@ -48,3 +48,43 @@ def test_streaming_roundtrip():
             server_task.cancel()
 
     asyncio.run(scenario())
+
+
+def test_streaming_raw_frames_with_detection():
+    """Raw webcam-size frames + detect_landmarks=true: the endpoint crops the
+    mouth ROI in-process (reference per-frame dlib path) before synthesis."""
+    from test_heuristic_landmarks import _render_face_video
+
+    pipes = {"tiny": Lip2SpeechPipeline.initialize_random(TINY, frames=8)}
+    state = ServerState(pipes, active="tiny")
+
+    async def scenario():
+        server_task = asyncio.create_task(serve_streaming(state, port=5118))
+        await asyncio.sleep(0.3)
+        try:
+            frames = _render_face_video(10)          # (10, 240, 320) raw faces
+            async with websockets.connect("ws://127.0.0.1:5118",
+                                          max_size=None, open_timeout=30) as ws:
+                for i in range(10):
+                    await ws.send(json.dumps({
+                        "type": "frame", "index": i,
+                        "height": frames.shape[1], "width": frames.shape[2],
+                        "data": base64.b64encode(frames[i].tobytes()).decode(),
+                    }))
+                await ws.send(json.dumps({"type": "end_stream",
+                                          "detect_landmarks": True}))
+                resp = json.loads(await asyncio.wait_for(ws.recv(), timeout=600))
+            assert resp["type"] == "result", resp
+            assert resp["num_samples"] == 10 * 640
+        finally:
+            server_task.cancel()
+
+    asyncio.run(scenario())
+
+
+def test_demo_page_advertises_streaming_port():
+    from lip2speech_tpu.pipeline.server import DEMO_HTML
+
+    assert "__STREAM_PORT__" in DEMO_HTML       # placeholder present
+    assert "getUserMedia" in DEMO_HTML          # webcam capture UI
+    assert "end_stream" in DEMO_HTML
