@@ -60,3 +60,44 @@ def test_command_builders():
     assert cmd[0] == "ffmpeg" and "scale=480:360" in cmd
     cmd = extract_audio_cmd("a.mp4", "a.wav")
     assert "-ar" in cmd and "16000" in cmd
+
+
+def test_media_command_builders_cover_reference_templates():
+    """Argv builders for every helpers.py:29-41 ffmpeg template."""
+    from lip2speech_tpu.pipeline import media as m
+
+    assert m.pad_audio_start_cmd("a.wav", "b.wav", 2)[-2] == "adelay=2000|2000"
+    assert "apad=pad_dur=1.5" in m.pad_audio_end_cmd("a.wav", "b.wav", 1.5)
+    assert "00:00:02.000" in m.remove_audio_pad_cmd("a.wav", "b.wav", 2)
+    crop = m.crop_video_cmd("v.mp4", "o.mp4", 1.25, 3.5)
+    assert crop[crop.index("-ss") + 1] == "00:00:01.250"
+    assert crop[crop.index("-to") + 1] == "00:00:03.500"
+    multi = m.crop_video_multiple_cmd("v.mp4", [(0, 1, "a.mp4"), (2, 3, "b.mp4")])
+    assert multi.count("-ss") == 2 and multi[-1] == "b.mp4"
+    sp = m.speed_cmd("v.mp4", "o.mp4", 2.0)
+    fc = sp[sp.index("-filter_complex") + 1]
+    assert "setpts=0.5*PTS" in fc and "atempo=2.0" in fc
+    assert "loudnorm" in " ".join(m.normalize_audio_cmd("a.wav", "b.wav"))
+    assert m._ffmpeg_time(3723.5) == "01:02:03.500"
+    assert "gif" in m.INVALID_VIDEO_FORMATS
+
+
+def test_media_probe_helpers_gate_cleanly(tmp_path):
+    """Without ffprobe (or on junk input) the probes return None/{} instead
+    of raising — the gateway treats that as 'cannot validate, proceed'."""
+    from lip2speech_tpu.pipeline import media as m
+
+    import shutil as _shutil
+
+    if _shutil.which("ffprobe") is None:
+        assert m.probe("nope.mp4") == {}
+        assert m.get_fps("nope.mp4") is None
+        assert m.is_valid_video_format("nope.mp4") is None
+    else:
+        import subprocess as _sp
+
+        try:
+            info = m.probe(__file__)   # a .py file is not a video
+            assert isinstance(info, dict)
+        except _sp.CalledProcessError:
+            pass
