@@ -114,12 +114,22 @@ class Stage1Dataset:
         return {"video": video, "frames_mask": mask, "spk_emb": spk,
                 "unit_tokens": units, "mel": mel, "ids": ids}
 
-    def batches(self, batch_size: int, shuffle: bool = False):
+    def batches(self, batch_size: int | None = None, shuffle: bool = False,
+                frames_budget: int | None = None):
         """Yield collated batches grouped by length bucket.
 
         With shuffle, samples are shuffled within buckets AND the batch order
         is shuffled across buckets (so training doesn't see ascending-length
-        curricula); without, deterministic bucket-sorted order for eval."""
+        curricula); without, deterministic bucket-sorted order for eval.
+
+        frames_budget enables by-frame-count batching (the RAVEn
+        ByFrameCountSampler / fairseq max-tokens policy,
+        raven/data/samplers.py): each bucket's batch size becomes
+        max(1, frames_budget // bucket_len), so short-clip buckets pack more
+        clips per step at the same padded-token cost. Shapes stay static per
+        bucket — still exactly one XLA compile per bucket."""
+        if (batch_size is None) == (frames_budget is None):
+            raise ValueError("pass exactly one of batch_size / frames_budget")
         order = np.arange(len(self.utts))
         if shuffle:
             self.rng.shuffle(order)
@@ -127,9 +137,15 @@ class Stage1Dataset:
         for idx in order:
             bkt = pick_bucket(min(self.utts[idx].n_frames, self.max_frames))
             by_bucket.setdefault(bkt, []).append(int(idx))
-        plan = [(bkt, idxs[i : i + batch_size])
+
+        def _bs(bkt: int) -> int:
+            if frames_budget is not None:
+                return max(1, frames_budget // bkt)
+            return batch_size
+
+        plan = [(bkt, idxs[i : i + _bs(bkt)])
                 for bkt, idxs in sorted(by_bucket.items())
-                for i in range(0, len(idxs), batch_size)]
+                for i in range(0, len(idxs), _bs(bkt))]
         if shuffle:
             self.rng.shuffle(plan)
         for bkt, chunk in plan:

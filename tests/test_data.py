@@ -126,3 +126,37 @@ def test_video_io_roundtrip(tmp_path):
     save_video_gray(tmp_path / "clip.mp4", frames)
     back = load_video_gray(tmp_path / "clip.mp4")
     np.testing.assert_array_equal(back, frames)
+
+
+def test_frames_budget_batching_policy():
+    """By-frame-count batching (RAVEn ByFrameCountSampler semantics): each
+    bucket packs max(1, budget // bucket_len) clips, so short buckets get
+    bigger batches at constant padded-token cost."""
+    from lip2speech_tpu.data.stage1 import Stage1Dataset
+
+    ds = Stage1Dataset.__new__(Stage1Dataset)
+    ds.rng = np.random.default_rng(0)
+    ds.max_frames = 600
+
+    class U:  # minimal utterance stub
+        def __init__(self, n):
+            self.n_frames = n
+
+    # 6 short clips (bucket 48) + 3 long ones (bucket 160)
+    ds.utts = [U(30)] * 6 + [U(150)] * 3
+    plans = []
+    ds.load = lambda j: j
+    ds.collate = lambda samples, pad_to=None: (pad_to, len(samples))
+    out = list(ds.batches(frames_budget=480))
+    # bucket 48 -> bs 10 (all 6 fit in one batch); bucket 160 -> bs 3
+    assert (48, 6) in out and (160, 3) in out
+    assert len(out) == 2
+
+    out2 = list(ds.batches(frames_budget=100))
+    # bucket 48 -> bs 2 (3 batches); bucket 160 -> bs 1 (3 batches)
+    assert out2.count((48, 2)) == 3 and out2.count((160, 1)) == 3
+
+    with pytest.raises(ValueError, match="exactly one"):
+        list(ds.batches(batch_size=2, frames_budget=100))
+    with pytest.raises(ValueError, match="exactly one"):
+        list(ds.batches())
