@@ -74,7 +74,8 @@ class AVHubertSeq2Seq:
                                   train=False)
 
     def decode_beam(self, variables, video, frames_mask, beam: int = 10,
-                    max_len: int = 50, len_penalty: float = 1.0):
+                    max_len: int = 50, len_penalty: float = 1.0,
+                    no_repeat_ngram_size: int = 0):
         """video -> list of token-id hypotheses (best-first per batch row)."""
         cfg = self.cfg
         enc = self.encode(variables, video, frames_mask)
@@ -90,7 +91,8 @@ class AVHubertSeq2Seq:
 
         tokens, scores = beam_search(score_prefix, b, beam, max_len,
                                      bos=cfg.bos, eos=cfg.eos, pad=cfg.pad,
-                                     unk=cfg.unk, len_penalty=len_penalty)
+                                     unk=cfg.unk, len_penalty=len_penalty,
+                                     no_repeat_ngram_size=no_repeat_ngram_size)
         tokens = np.asarray(tokens)
         return [[strip_sequence(tokens[i, k], cfg.bos, cfg.eos)
                  for k in range(beam)] for i in range(b)], np.asarray(scores)
