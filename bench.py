@@ -1,36 +1,55 @@
 """Benchmark: end-to-end video->waveform real-time factor on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Headline metric (driver contract): end-to-end
+synthesis RTF (seconds of audio generated per wall-clock second) for the
+full jitted video->units+mel->vocoder->wav program on the conformer-only
+preset; vs_baseline is RTF / 5.0 (BASELINE.json: >=5x real time per chip).
 
-The metric is the north star from BASELINE.json: end-to-end synthesis RTF
-(seconds of audio generated per wall-clock second) for the full jitted
-video->units+mel->vocoder->wav program. vs_baseline is RTF / 5.0 — the
-reference target is >=5x real time per v5e chip (BASELINE.md).
+The `details` field widens the artifact (VERDICT r1 next #6):
+  flagship_rtf           same e2e RTF for the AV-HuBERT flagship preset
+  batch1_p50_ms          single-clip (9.6 s) p50 serving latency
+  stage1_train_step_ms   full multi_target train step (B=2, T=240, flash on)
+  stage2_train_step_ms   vocoder GAN step (B=8, 8960-sample segments)
+  mfu_pct                model FLOPs (XLA cost analysis) / wall / chip peak
+
+Every detail is best-effort: a failure records the error string instead of
+breaking the one-line contract. Timing always syncs via a device->host
+transfer (block_until_ready returns early under the axon relay).
 """
 
+import dataclasses
 import json
 import time
 
 import numpy as np
 
+# bf16 peak TFLOP/s per chip by device kind (first substring match wins)
+PEAK_TFLOPS = [("v6", 918.0), ("v5p", 459.0), ("v5", 197.0), ("v4", 275.0)]
 
-def main():
+
+def _sync_time(fn, args, iters, fetch=lambda out: out[0]):
+    _ = np.asarray(fetch(fn(*args)))           # warmup / compile
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(fetch(fn(*args)))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), float(np.mean(times))
+
+
+def _e2e(pipe_cfg_name, batch, frames, iters):
     import jax
+    import jax.numpy as jnp
 
     from lip2speech_tpu.core.config import preset
     from lip2speech_tpu.pipeline.synthesise import Lip2SpeechPipeline
 
-    import jax.numpy as jnp
-
-    cfg = preset("multi_target")
+    cfg = preset(pipe_cfg_name)
     pipe = Lip2SpeechPipeline.initialize_random(cfg, seed=0, frames=8)
-    # serving configuration: bf16 compute (the fp32 ResNet frontend is ~1.8x
-    # slower; bf16 units agree with fp32 and waveforms correlate ~1.0) and
-    # device-side PCM16 output (the wire format; halves the D2H transfer)
+    # serving configuration: bf16 compute + device-side PCM16 output
     pipe.compute_dtype = jnp.bfloat16
     pipe.emit_int16 = True
 
-    batch, frames = 4, 240            # 4 clips x 9.6 s = 38.4 s of audio / call
     rng = np.random.default_rng(0)
     video = rng.standard_normal((batch, frames, 88, 88, 1)).astype(np.float32)
     mask = np.ones((batch, frames), bool)
@@ -38,30 +57,127 @@ def main():
 
     fn = pipe._jitted(None)
     args = (pipe.stage1_variables, pipe.vocoder_params,
-            jax.numpy.asarray(video), jax.numpy.asarray(mask), jax.numpy.asarray(spk))
+            jax.numpy.asarray(video), jax.numpy.asarray(mask),
+            jax.numpy.asarray(spk))
+    p50, mean = _sync_time(fn, args, iters)
+    rtf = (batch * frames / 25.0) / mean
+    return rtf, p50, fn, args
 
-    # warmup / compile
-    _ = np.asarray(fn(*args)[0])
 
-    # Each iteration fetches the waveform to host — that device->host transfer
-    # is part of the serving path, and it is also the only reliable sync point
-    # (block_until_ready returns early under the axon loopback relay).
-    n_iters = 10
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        wav = np.asarray(fn(*args)[0])
-    wall = (time.perf_counter() - start) / n_iters
+def _train_step_stage1(iters=5):
+    import jax
 
-    audio_seconds = batch * frames / 25.0
-    rtf = audio_seconds / wall
+    from lip2speech_tpu.core.config import preset
+    from lip2speech_tpu.train import stage1
+
+    cfg = preset("multi_target")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, conformer=dataclasses.replace(
+                cfg.model.conformer, use_flash=True)))
+    b, t = 2, 240
+    rng = np.random.default_rng(1)
+    batch = {
+        "video": rng.standard_normal((1, b, t, 88, 88, 1)).astype(np.float32),
+        "frames_mask": np.ones((1, b, t), bool),
+        "spk_emb": rng.standard_normal((1, b, 256)).astype(np.float32),
+        "unit_tokens": rng.integers(4, 204, (1, b, 2 * t)).astype(np.int32),
+        "mel": rng.standard_normal((1, b, 4 * t, 80)).astype(np.float32),
+    }
+    micro0 = {k: v[0] for k, v in batch.items()}
+    model, tx, state = stage1.create_train_state(cfg, jax.random.PRNGKey(0), micro0)
+    step = stage1.make_train_step(model, tx, cfg)
+    key = jax.random.PRNGKey(1)
+
+    def fn(s):
+        s2, logs = step(s, batch, key)
+        return logs["loss"], s2
+
+    _, mean = _sync_time(fn, (state,), iters, fetch=lambda out: out[0])
+    return mean * 1e3
+
+
+def _train_step_stage2(iters=5):
+    import jax
+
+    from lip2speech_tpu.core.config import preset
+    from lip2speech_tpu.train import stage2
+
+    cfg = preset("multi_target")
+    seg = cfg.vocoder.segment_size
+    b = 8
+    rng = np.random.default_rng(2)
+    batch = {
+        "code": rng.integers(0, 200, (b, seg // 320)).astype(np.int32),
+        "mel": rng.standard_normal((b, seg // 160, 80)).astype(np.float32),
+        "spk_emb": rng.standard_normal((b, 256)).astype(np.float32),
+        "audio": (0.1 * rng.standard_normal((b, seg))).astype(np.float32),
+    }
+    models, txs, state = stage2.create_gan_state(cfg, jax.random.PRNGKey(0), batch)
+    step = stage2.make_gan_step(models, txs, cfg)
+    key = jax.random.PRNGKey(3)
+
+    def fn(s):
+        s2, logs = step(s, batch, key)
+        return logs["loss_gen"], s2
+
+    _, mean = _sync_time(fn, (state,), iters, fetch=lambda out: out[0])
+    return mean * 1e3
+
+
+def main():
+    import jax
+
+    details: dict = {}
+
+    # headline: conformer-only preset, batch 4 x 9.6 s
+    rtf, _, fn, args = _e2e("multi_target", batch=4, frames=240, iters=10)
+
+    # MFU from XLA's cost analysis of the e2e program
+    try:
+        compiled = fn.lower(*args).compile() if hasattr(fn, "lower") else None
+        flops = float(compiled.cost_analysis()["flops"])
+        kind = jax.devices()[0].device_kind.lower()
+        peak = next((p for s, p in PEAK_TFLOPS if s in kind), 197.0) * 1e12
+        wall = (4 * 240 / 25.0) / rtf
+        details["mfu_pct"] = round(flops / wall / peak * 100.0, 2)
+        details["e2e_gflops_per_call"] = round(flops / 1e9, 1)
+    except Exception as e:  # noqa: BLE001
+        details["mfu_pct"] = f"error: {e}"
+
+    # single-clip serving latency
+    try:
+        _, p50, _, _ = _e2e("multi_target", batch=1, frames=240, iters=15)
+        details["batch1_p50_ms"] = round(p50 * 1e3, 1)
+    except Exception as e:  # noqa: BLE001
+        details["batch1_p50_ms"] = f"error: {e}"
+
+    # flagship AV-HuBERT frontend
+    try:
+        frtf, _, _, _ = _e2e("multi_target_avhubert", batch=4, frames=240, iters=5)
+        details["flagship_rtf"] = round(frtf, 1)
+    except Exception as e:  # noqa: BLE001
+        details["flagship_rtf"] = f"error: {e}"
+
+    # training throughput
+    try:
+        details["stage1_train_step_ms"] = round(_train_step_stage1(), 1)
+    except Exception as e:  # noqa: BLE001
+        details["stage1_train_step_ms"] = f"error: {e}"
+    try:
+        details["stage2_train_step_ms"] = round(_train_step_stage2(), 1)
+    except Exception as e:  # noqa: BLE001
+        details["stage2_train_step_ms"] = f"error: {e}"
+
     print(json.dumps({
         "metric": "e2e_video_to_wav_rtf",
         "value": round(rtf, 3),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 5.0, 3),
         "platform": jax.devices()[0].platform,
-        "batch": batch,
-        "clip_seconds": frames / 25.0,
+        "batch": 4,
+        "clip_seconds": 9.6,
+        "details": details,
     }))
 
 

@@ -37,6 +37,7 @@ def evaluate_asr(
     lm=None,
     lm_variables=None,
     lm_weight: float = 0.0,
+    ctc_weight: float = 0.0,
     batch_size: int = 1,
 ) -> ASREvalResult:
     import jax.numpy as jnp
@@ -44,15 +45,20 @@ def evaluate_asr(
     processor = processor or SentenceProcessor()
     ds = Stage1Dataset(tsv_path, root_override=root_override, train=False)
     refs, hyps, per_utt = [], [], {}
+    lm_kw = ({"lm": lm, "lm_variables": lm_variables, "lm_weight": lm_weight}
+             if lm is not None and lm_weight > 0 else {})
     for batch in ds.batches(batch_size):
         video = jnp.asarray(batch["video"])
         mask = jnp.asarray(batch["frames_mask"])
-        if lm is not None and lm_weight > 0:
-            # fuse inside the model's scorer via decode_beam's LM hooks when
-            # available; otherwise callers pre-wrap the scorer
-            pass
-        nbest, _ = model.decode_beam(variables, video, mask, beam=beam,
-                                     max_len=max_len)
+        if ctc_weight > 0 and hasattr(model, "decode_joint"):
+            # hybrid CTC/attention (the reference's actual RAVEn eval path,
+            # raven/_espnet/nets/beam_search.py)
+            nbest, _ = model.decode_joint(variables, video, mask, beam=beam,
+                                          max_len=max_len,
+                                          ctc_weight=ctc_weight, **lm_kw)
+        else:
+            nbest, _ = model.decode_beam(variables, video, mask, beam=beam,
+                                         max_len=max_len, **lm_kw)
         for uid, hyp_rows in zip(batch["ids"], nbest):
             if uid not in transcripts:
                 continue

@@ -75,8 +75,12 @@ class AVHubertSeq2Seq:
 
     def decode_beam(self, variables, video, frames_mask, beam: int = 10,
                     max_len: int = 50, len_penalty: float = 1.0,
-                    no_repeat_ngram_size: int = 0):
-        """video -> list of token-id hypotheses (best-first per batch row)."""
+                    no_repeat_ngram_size: int = 0,
+                    lm=None, lm_variables=None, lm_weight: float = 0.0):
+        """video -> list of token-id hypotheses (best-first per batch row).
+
+        lm/lm_variables/lm_weight add shallow fusion (score = log p_am +
+        lm_weight * log p_lm), the RAVEn eval harness's LM integration."""
         cfg = self.cfg
         enc = self.encode(variables, video, frames_mask)
         b = enc.shape[0]
@@ -88,6 +92,12 @@ class AVHubertSeq2Seq:
         def score_prefix(tokens, step):
             logits = decoder.apply(dec_vars, tokens, enc_rep, mask_rep)
             return logits[:, step]
+
+        if lm is not None and lm_weight:
+            from lip2speech_tpu.models.lm import fuse_with_lm
+
+            score_prefix = fuse_with_lm(score_prefix, lm, lm_variables,
+                                        lm_weight)
 
         tokens, scores = beam_search(score_prefix, b, beam, max_len,
                                      bos=cfg.bos, eos=cfg.eos, pad=cfg.pad,

@@ -120,3 +120,11 @@ class AttrDict(dict):
 def state_dict_numpy(module) -> dict:
     """torch module -> flat {key: np.ndarray} (converter input format)."""
     return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def ctc_prefix_score_cls():
+    """The real espnet CTCPrefixScore (raven/_espnet/nets/ctc_prefix_score.py:273)."""
+    require_ref()
+    mod = load_ref_file("raven/_espnet/nets/ctc_prefix_score.py",
+                        "ref_ctc_prefix_score")
+    return mod.CTCPrefixScore

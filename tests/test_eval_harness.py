@@ -37,7 +37,9 @@ def test_evaluate_synthesis_directory(lrs3_sample_dir, tmp_path):
     assert res.n_utts >= 4          # the shortest clip may be < 384 ms of speech
     assert 0.5 < res.stoi <= 1.0
     assert 0.0 < res.estoi <= 1.0
-    assert res.pesq is None         # pesq package not installed here
+    # in-tree P.862 implementation (eval/pesq_p862.py) — mildly noisy
+    # copies of the reference should score well above the 1.0 floor
+    assert res.pesq is not None and 1.0 < res.pesq <= 4.64
     out = res.to_json()
     assert "stoi" in out
 
