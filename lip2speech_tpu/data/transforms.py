@@ -84,6 +84,37 @@ def time_mask(
     return out
 
 
+def adaptive_time_mask(
+    frames: np.ndarray,
+    rng: np.random.Generator,
+    window: int = 10,
+    stride: int = 25,
+    mean_fill: bool = True,
+) -> np.ndarray:
+    """RAVEn's AdaptiveLengthTimeMask (raven/data/transforms.py:433-468).
+
+    One mask per `stride` frames of clip length, placed uniformly anywhere
+    in the clip (unlike time_mask's per-hop placement). Bug-for-bug with the
+    reference: each mask draws TWO values a,b ~ U[0,window); `a` only bounds
+    the start position (and a==0 skips the mask), while `b` is the actual
+    masked length, clamped at the clip end. Fill is the clip mean (their
+    fine-tune default) or zero."""
+    t = len(frames)
+    n_mask = int((t + stride - 0.1) // stride)
+    out = frames.copy()
+    fill = frames.mean() if mean_fill else 0.0
+    for _ in range(n_mask):
+        a = int(rng.integers(0, window))
+        b = int(rng.integers(0, window))
+        if t - a <= 0:
+            continue
+        start = int(rng.integers(0, t - a))
+        if a == 0:
+            continue
+        out[start : start + b] = fill
+    return out
+
+
 def prepare_video(
     frames_u8: np.ndarray,
     crop_size: int = 88,

@@ -160,3 +160,22 @@ def test_frames_budget_batching_policy():
         list(ds.batches(batch_size=2, frames_budget=100))
     with pytest.raises(ValueError, match="exactly one"):
         list(ds.batches())
+
+
+def test_adaptive_time_mask_semantics():
+    """RAVEn AdaptiveLengthTimeMask: mean fill, bounded mask count/length."""
+    from lip2speech_tpu.data.transforms import adaptive_time_mask
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((100, 4, 4)).astype(np.float32) + 5.0
+    out = adaptive_time_mask(x, np.random.default_rng(1), window=10, stride=25)
+    assert out.shape == x.shape
+    changed = np.any(out != x, axis=(1, 2))
+    # masked frames are set to the clip mean
+    assert np.allclose(out[changed], x.mean(), atol=1e-5)
+    # n_mask = ceil-ish(100/25) = 4 masks of length < 10
+    assert 0 < changed.sum() <= 4 * 9
+    # degenerate tiny clip: never crashes, never masks beyond bounds
+    tiny = adaptive_time_mask(x[:2], np.random.default_rng(2), window=10,
+                              stride=25)
+    assert tiny.shape == (2, 4, 4)
