@@ -114,7 +114,7 @@ def ctc_extend_scores(logp, r_prev, last, out_len, cand, blank: int,
 @functools.partial(jax.jit, static_argnames=(
     "att_score_prefix", "lm_score_prefix", "batch_size", "beam", "max_len",
     "pre_beam", "ctc_weight", "lm_weight", "bos", "eos", "pad", "unk",
-    "blank", "len_penalty"))
+    "blank", "len_penalty", "length_bonus"))
 def joint_beam_search(
     att_score_prefix: Callable,   # (tokens (N, L+1), step) -> (N, V) logits
     ctc_logprobs: jnp.ndarray,    # (B, T, V) log-softmaxed CTC head output
@@ -132,6 +132,7 @@ def joint_beam_search(
     blank: int = 0,
     pre_beam: int = 0,            # 0 -> espnet default int(1.5 * beam)
     len_penalty: float = 0.0,     # espnet uses raw scores (no GNMT norm)
+    length_bonus: float = 0.0,    # espnet LengthBonus scorer weight (penalty)
 ):
     """Hybrid CTC/attention beam. Returns (tokens (B, beam, L+1), scores).
 
@@ -162,6 +163,9 @@ def joint_beam_search(
         if lm_score_prefix is not None and lm_weight != 0.0:
             lm_lp = jax.nn.log_softmax(lm_score_prefix(tokens, step), axis=-1)
             base = base + lm_weight * lm_lp
+        if length_bonus:
+            # espnet LengthBonus scorer: +weight per emitted token
+            base = base + length_bonus
         for banned in sorted({pad, unk, blank} | ({bos} if bos != eos else set())):
             base = base.at[:, banned].set(NEG)
 

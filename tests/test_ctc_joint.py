@@ -180,3 +180,21 @@ def test_padded_frames_do_not_change_scores():
                                jnp.asarray([t]), **kw)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
+
+
+def test_length_bonus_prefers_longer_sequences():
+    """espnet LengthBonus: positive bonus discourages early EOS."""
+    rng = np.random.default_rng(4)
+    t, v, eos = 5, 5, 4
+    logp = _rand_logp(rng, t, v)
+    _, score_prefix = _markov_att(rng, v)
+    kw = dict(batch_size=1, beam=8, max_len=4, ctc_weight=0.3, bos=eos,
+              eos=eos, pad=1, unk=1, blank=0, pre_beam=v)
+    def hyp_len(tok):
+        row = [int(x) for x in np.asarray(tok)[0, 0, 1:]]
+        return row.index(eos) if eos in row else len(row)
+    t0, _ = joint_beam_search(score_prefix, jnp.asarray(logp)[None],
+                              jnp.asarray([t]), **kw)
+    t1, _ = joint_beam_search(score_prefix, jnp.asarray(logp)[None],
+                              jnp.asarray([t]), length_bonus=5.0, **kw)
+    assert hyp_len(t1) >= hyp_len(t0)
