@@ -37,6 +37,21 @@ def _sync_time(fn, args, iters, fetch=lambda out: out[0]):
     return float(np.median(times)), float(np.mean(times))
 
 
+def _time_train_steps(step, state, batch, key, iters):
+    """Train steps donate their input state (donate_argnums=(0,)), so the
+    returned state must be threaded through — re-calling with the donated
+    original reads deleted buffers."""
+    state, logs = step(state, batch, key)
+    _ = np.asarray(logs["loss"] if "loss" in logs else logs["loss_gen"])
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, logs = step(state, batch, key)
+        np.asarray(logs["loss"] if "loss" in logs else logs["loss_gen"])
+        times.append(time.perf_counter() - t0)
+    return float(np.mean(times))
+
+
 def _e2e(pipe_cfg_name, batch, frames, iters):
     import jax
     import jax.numpy as jnp
@@ -87,14 +102,8 @@ def _train_step_stage1(iters=5):
     micro0 = {k: v[0] for k, v in batch.items()}
     model, tx, state = stage1.create_train_state(cfg, jax.random.PRNGKey(0), micro0)
     step = stage1.make_train_step(model, tx, cfg)
-    key = jax.random.PRNGKey(1)
-
-    def fn(s):
-        s2, logs = step(s, batch, key)
-        return logs["loss"], s2
-
-    _, mean = _sync_time(fn, (state,), iters, fetch=lambda out: out[0])
-    return mean * 1e3
+    return _time_train_steps(step, state, batch, jax.random.PRNGKey(1),
+                             iters) * 1e3
 
 
 def _train_step_stage2(iters=5):
@@ -115,14 +124,8 @@ def _train_step_stage2(iters=5):
     }
     models, txs, state = stage2.create_gan_state(cfg, jax.random.PRNGKey(0), batch)
     step = stage2.make_gan_step(models, txs, cfg)
-    key = jax.random.PRNGKey(3)
-
-    def fn(s):
-        s2, logs = step(s, batch, key)
-        return logs["loss_gen"], s2
-
-    _, mean = _sync_time(fn, (state,), iters, fetch=lambda out: out[0])
-    return mean * 1e3
+    return _time_train_steps(step, state, batch, jax.random.PRNGKey(3),
+                             iters) * 1e3
 
 
 def main():

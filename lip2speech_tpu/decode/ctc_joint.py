@@ -54,8 +54,46 @@ def ctc_initial_state(logp: jnp.ndarray, blank: int = 0) -> jnp.ndarray:
     return jnp.stack([r_n, r_b], axis=-1)
 
 
+def _semiring_matmul(a, b):
+    """(log, +) semiring matmul over trailing (3, 3) dims."""
+    return jax.nn.logsumexp(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+
+def _ctc_recursion_parallel(xs, phi, blank_lp, r_n0, r_b0):
+    """O(log T)-depth evaluation of the CTC forward recursion.
+
+    The per-frame update
+        r_n[t] = logaddexp(r_n[t-1], phi[t-1]) + xs[t]
+        r_b[t] = logaddexp(r_n[t-1], r_b[t-1]) + blank[t]
+    is AFFINE in the (log, +) semiring (phi comes from the PREVIOUS beam
+    state, not from this recursion), so with homogeneous coordinates
+    v[t] = (r_n[t], r_b[t], 0) it becomes v[t] = M[t] (.) v[t-1] with a 3x3
+    semiring matrix — and all prefix products evaluate in parallel with
+    jax.lax.associative_scan. Replaces the T-sequential lax.scan: depth
+    log2(T) instead of T, the shape XLA wants on TPU.
+    Returns (r_n (N,T-1',K), r_b, ...) stacked over t=1..T-1.
+    """
+    xs_t = jnp.moveaxis(xs[:, 1:], 1, 0)              # (T-1, N, K)
+    phi_tm1 = jnp.moveaxis(phi[:, :-1], 1, 0)
+    b_t = jnp.broadcast_to(
+        jnp.moveaxis(blank_lp[:, 1:], 1, 0)[..., None], xs_t.shape)
+    neg = jnp.full_like(xs_t, LOGZERO)
+    zero = jnp.zeros_like(xs_t)
+    m = jnp.stack([
+        jnp.stack([xs_t, neg, phi_tm1 + xs_t], axis=-1),
+        jnp.stack([b_t, b_t, neg], axis=-1),
+        jnp.stack([neg, neg, zero], axis=-1),
+    ], axis=-2)                                       # (T-1, N, K, 3, 3)
+    # inclusive prefix products P[t] = M[t] (.) M[t-1] (.) ... (.) M[1]
+    prefix = jax.lax.associative_scan(
+        lambda a, b: _semiring_matmul(b, a), m, axis=0)
+    v0 = jnp.stack([r_n0, r_b0, jnp.zeros_like(r_n0)], axis=-1)  # (N, K, 3)
+    v = jax.nn.logsumexp(prefix + v0[None, ..., None, :], axis=-1)
+    return v[..., 0], v[..., 1]                       # each (T-1, N, K)
+
+
 def ctc_extend_scores(logp, r_prev, last, out_len, cand, blank: int,
-                      eos: int):
+                      eos: int, parallel_time: bool = False):
     """Score extending each hypothesis with each candidate label.
 
     Args:
@@ -84,19 +122,26 @@ def ctc_extend_scores(logp, r_prev, last, out_len, cand, blank: int,
     # for t<start the recursion stays at LOGZERO automatically because
     # r_prev (hence phi) has no support before frame out_len-1, so a uniform
     # scan from t=1 equals the reference's start=max(l,1) loop
-    def step(carry, inp):
-        r_n, r_b, psi = carry
-        xs_t, phi_tm1, blank_t = inp
-        r_n_new = jnp.logaddexp(r_n, phi_tm1) + xs_t
-        r_b_new = jnp.logaddexp(r_n, r_b) + blank_t[:, None]
-        psi = jnp.logaddexp(psi, phi_tm1 + xs_t)
-        return (r_n_new, r_b_new, psi), (r_n_new, r_b_new)
+    if parallel_time:
+        r_n_all, r_b_all = _ctc_recursion_parallel(xs, phi, blank_lp,
+                                                   r_n0, r_b0)
+        # psi has no recursion at all: psi = psi0 (+) LSE_t(phi[t-1]+xs[t])
+        psi = jnp.logaddexp(
+            psi0, jax.nn.logsumexp(phi[:, :-1] + xs[:, 1:], axis=1))
+    else:
+        def step(carry, inp):
+            r_n, r_b, psi = carry
+            xs_t, phi_tm1, blank_t = inp
+            r_n_new = jnp.logaddexp(r_n, phi_tm1) + xs_t
+            r_b_new = jnp.logaddexp(r_n, r_b) + blank_t[:, None]
+            psi = jnp.logaddexp(psi, phi_tm1 + xs_t)
+            return (r_n_new, r_b_new, psi), (r_n_new, r_b_new)
 
-    inputs = (jnp.moveaxis(xs[:, 1:], 1, 0),          # (T-1, N, K)
-              jnp.moveaxis(phi[:, :-1], 1, 0),
-              jnp.moveaxis(blank_lp[:, 1:], 1, 0))
-    (_, _, psi), (r_n_all, r_b_all) = jax.lax.scan(
-        step, (r_n0, r_b0, psi0), inputs)
+        inputs = (jnp.moveaxis(xs[:, 1:], 1, 0),          # (T-1, N, K)
+                  jnp.moveaxis(phi[:, :-1], 1, 0),
+                  jnp.moveaxis(blank_lp[:, 1:], 1, 0))
+        (_, _, psi), (r_n_all, r_b_all) = jax.lax.scan(
+            step, (r_n0, r_b0, psi0), inputs)
     r_new = jnp.stack([
         jnp.concatenate([r_n0[:, None], jnp.moveaxis(r_n_all, 0, 1)], axis=1),
         jnp.concatenate([r_b0[:, None], jnp.moveaxis(r_b_all, 0, 1)], axis=1),
@@ -114,7 +159,7 @@ def ctc_extend_scores(logp, r_prev, last, out_len, cand, blank: int,
 @functools.partial(jax.jit, static_argnames=(
     "att_score_prefix", "lm_score_prefix", "batch_size", "beam", "max_len",
     "pre_beam", "ctc_weight", "lm_weight", "bos", "eos", "pad", "unk",
-    "blank", "len_penalty", "length_bonus"))
+    "blank", "len_penalty", "length_bonus", "parallel_time"))
 def joint_beam_search(
     att_score_prefix: Callable,   # (tokens (N, L+1), step) -> (N, V) logits
     ctc_logprobs: jnp.ndarray,    # (B, T, V) log-softmaxed CTC head output
@@ -133,6 +178,7 @@ def joint_beam_search(
     pre_beam: int = 0,            # 0 -> espnet default int(1.5 * beam)
     len_penalty: float = 0.0,     # espnet uses raw scores (no GNMT norm)
     length_bonus: float = 0.0,    # espnet LengthBonus scorer weight (penalty)
+    parallel_time: bool = False,  # O(log T) associative-scan CTC recursion
 ):
     """Hybrid CTC/attention beam. Returns (tokens (B, beam, L+1), scores).
 
@@ -172,7 +218,7 @@ def joint_beam_search(
         cand_base, cand = jax.lax.top_k(base, k)                  # (N, K)
         last = jax.lax.dynamic_slice_in_dim(tokens, step, 1, axis=1)[:, 0]
         psi, r_new = ctc_extend_scores(logp, r_prev, last, step, cand,
-                                       blank, eos)
+                                       blank, eos, parallel_time)
         total_cand = cand_base + ctc_weight * (psi - psi_prev[:, None])
 
         weighted = jnp.full((n, v), NEG)

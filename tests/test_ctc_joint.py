@@ -198,3 +198,47 @@ def test_length_bonus_prefers_longer_sequences():
     t1, _ = joint_beam_search(score_prefix, jnp.asarray(logp)[None],
                               jnp.asarray([t]), length_bonus=5.0, **kw)
     assert hyp_len(t1) >= hyp_len(t0)
+
+
+def test_parallel_time_recursion_matches_sequential():
+    """Associative-scan CTC recursion == lax.scan recursion (support region)."""
+    from lip2speech_tpu.decode.ctc_joint import ctc_extend_scores, \
+        ctc_initial_state, mask_ctc_logprobs
+
+    rng = np.random.default_rng(5)
+    n, t, v, k = 3, 9, 6, 6
+    logp = np.stack([_rand_logp(rng, t, v) for _ in range(n)])
+    logp = np.asarray(mask_ctc_logprobs(jnp.asarray(logp),
+                                        jnp.asarray([t, t - 2, t - 4]), 0))
+    cand = np.tile(np.arange(v), (n, 1))
+    r = np.asarray(ctc_initial_state(jnp.asarray(logp), 0))
+    last = np.array([5, 5, 5])
+    for step in range(3):
+        args = (jnp.asarray(logp), jnp.asarray(r), jnp.asarray(last),
+                jnp.asarray(step), jnp.asarray(cand), 0, 5)
+        psi_s, r_s = ctc_extend_scores(*args, False)
+        psi_p, r_p = ctc_extend_scores(*args, True)
+        np.testing.assert_allclose(np.asarray(psi_p), np.asarray(psi_s),
+                                   rtol=0, atol=1e-3)
+        rs, rp = np.asarray(r_s), np.asarray(r_p)
+        support = rs > -1e9
+        np.testing.assert_allclose(rp[support], rs[support], rtol=0, atol=1e-3)
+        assert np.all(rp[~support] < -1e9)
+        # advance all rows with label 2
+        r = rs[:, 2]
+        last = np.full(n, 2)
+
+
+def test_joint_beam_parallel_time_same_result():
+    rng = np.random.default_rng(6)
+    t, v, eos = 6, 5, 4
+    logp = _rand_logp(rng, t, v)
+    _, score_prefix = _markov_att(rng, v)
+    kw = dict(batch_size=1, beam=4, max_len=4, ctc_weight=0.4, bos=eos,
+              eos=eos, pad=1, unk=1, blank=0, pre_beam=v)
+    t1, s1 = joint_beam_search(score_prefix, jnp.asarray(logp)[None],
+                               jnp.asarray([t]), **kw)
+    t2, s2 = joint_beam_search(score_prefix, jnp.asarray(logp)[None],
+                               jnp.asarray([t]), parallel_time=True, **kw)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-3)
