@@ -53,6 +53,11 @@ def train(xml_path: str, output_path: str, **params) -> bool:
     """dlib.train_shape_predictor wrapper; returns False when dlib is absent."""
     try:
         import dlib
+
+        # a bare directory named dlib on sys.path imports as an attribute-less
+        # namespace package — treat that as "absent" too
+        if not hasattr(dlib, "shape_predictor_training_options"):
+            return False
     except ImportError:
         return False
     options = dlib.shape_predictor_training_options()

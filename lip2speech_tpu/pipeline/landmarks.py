@@ -69,6 +69,10 @@ class DlibLandmarks:
                  nth_frame: int = DETECTION_NTH_FRAME):
         import dlib  # optional
 
+        if not hasattr(dlib, "get_frontal_face_detector"):
+            # a bare dlib/ directory on sys.path imports as an empty
+            # namespace package — treat as unavailable
+            raise ImportError("dlib namespace package has no detector API")
         self.detector = (dlib.cnn_face_detection_model_v1(cnn_model_path)
                          if use_cnn else dlib.get_frontal_face_detector())
         self.use_cnn = use_cnn

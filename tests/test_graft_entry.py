@@ -11,7 +11,10 @@ def test_dryrun_multichip_small():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
 
-    g.dryrun_multichip(4)  # 2x2 dp x tp on the virtual CPU mesh
+    # 8 devices (4x2 dp x tp) — matching the conftest device count, so the
+    # clear_backends + jax_num_cpu_devices reconfiguration inside the dryrun
+    # does not shrink the mesh for every later test in this process
+    g.dryrun_multichip(8)
 
 
 @pytest.mark.slow
