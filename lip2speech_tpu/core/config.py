@@ -104,6 +104,7 @@ class ConformerConfig:
     layerscale: bool = False
     init_values: float = 0.1
     drop_path: float = 0.0
+    remat: bool = False                    # jax.checkpoint each layer
     input_dim: int = 512                   # feature dim entering the embed Linear
     use_flash: bool = False                # Pallas rel-flash attention (O(T) mem;
                                            # 16% faster at 1200 tokens on v5e)

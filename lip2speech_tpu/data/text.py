@@ -168,12 +168,22 @@ def ctc_beam_search(
     log_probs: np.ndarray,
     beam_width: int = 25,
     blank: int = 0,
+    use_native: bool = True,
 ) -> tuple[list[int], float]:
     """CTC prefix beam search over (T, C) log-probs.
 
     Replaces the C++ ctcdecode extension (reference sequence_generator.py:27).
-    Returns (best label sequence, its log-probability).
+    Dispatches to the in-tree C implementation (native/ctc_beam.c, identical
+    semantics) when a compiler is available; this Python body is the
+    reference implementation and fallback. Returns (best label sequence,
+    its log-probability).
     """
+    if use_native:
+        from lip2speech_tpu.native import ctc_beam_search_native
+
+        got = ctc_beam_search_native(log_probs, beam_width, blank)
+        if got is not None:
+            return got
     t_len, _ = log_probs.shape
     # beams: prefix tuple -> (log p ending in blank, log p ending in non-blank)
     NEG = -np.inf

@@ -134,7 +134,7 @@ class MultiTargetModel(nn.Module):
             dropout=cf.dropout, attention_dropout=cf.attention_dropout,
             positional_dropout=cf.dropout, conv_kernel=cf.conv_kernel,
             macaron=cf.macaron, normalize_before=cf.layer_norm_first,
-            use_flash=cf.use_flash)
+            use_flash=cf.use_flash, remat=cf.remat)
 
         self.final_dropout = nn.Dropout(self.cfg.final_dropout)
         self.unit_head = MLPHead(cf.dim, self.cfg.units.vocab_size, self.cfg.final_dropout)

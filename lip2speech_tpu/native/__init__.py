@@ -1,8 +1,9 @@
 """Native (C) host-side helpers, built on first use with the system compiler.
 
 The TPU compute path is JAX/XLA/Pallas; these are the host hot spots where
-the reference also leaned on native code (C `editdistance` extension for
-unit WER — SURVEY.md §2.8). Compiled with cc -O2 -shared into this package
+the reference also leaned on native code (SURVEY.md §2.8: the C
+`editdistance` extension for unit WER, the C++ `ctcdecode` extension for
+CTC beam decoding). Compiled with cc -O2 -shared into this package
 directory and loaded via ctypes; callers fall back to pure Python when no
 compiler is available.
 """
@@ -18,44 +19,56 @@ import numpy as np
 
 _HERE = Path(__file__).parent
 _LOCK = threading.Lock()
-_LIB = None
-_TRIED = False
+_LIBS: dict = {}
 
 
-def _build() -> Path | None:
-    src = _HERE / "editdistance.c"
-    out = _HERE / "_editdistance.so"
+def _build(stem: str) -> Path | None:
+    src = _HERE / f"{stem}.c"
+    out = _HERE / f"_{stem}.so"
     if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
         return out
     for cc in ("cc", "gcc", "g++", "clang"):
         try:
             subprocess.run([cc, "-O2", "-shared", "-fPIC", str(src),
-                            "-o", str(out)], check=True, capture_output=True)
+                            "-o", str(out), "-lm"],
+                           check=True, capture_output=True)
             return out
         except (FileNotFoundError, subprocess.CalledProcessError):
             continue
     return None
 
 
-def _lib():
-    global _LIB, _TRIED
+def _lib(stem: str, configure):
     with _LOCK:
-        if _LIB is None and not _TRIED:
-            _TRIED = True
-            path = _build()
+        if stem not in _LIBS:
+            path = _build(stem)
+            lib = None
             if path is not None:
                 lib = ctypes.CDLL(str(path))
-                lib.edit_distance_i32.restype = ctypes.c_int64
-                lib.edit_distance_i32.argtypes = [
-                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
-                _LIB = lib
-    return _LIB
+                configure(lib)
+            _LIBS[stem] = lib
+    return _LIBS[stem]
+
+
+def _cfg_editdistance(lib):
+    lib.edit_distance_i32.restype = ctypes.c_int64
+    lib.edit_distance_i32.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+
+
+def _cfg_ctc_beam(lib):
+    lib.ctc_beam_search_f32.restype = ctypes.c_int64
+    lib.ctc_beam_search_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double)]
 
 
 def edit_distance(a, b) -> int:
     """Levenshtein distance between two int sequences (C fast path)."""
-    lib = _lib()
+    lib = _lib("editdistance", _cfg_editdistance)
     if lib is None:
         from lip2speech_tpu.decode.units import unit_edit_distance
 
@@ -68,3 +81,27 @@ def edit_distance(a, b) -> int:
     if out < 0:
         raise MemoryError("edit_distance allocation failed")
     return int(out)
+
+
+def ctc_beam_search_native(log_probs: np.ndarray, beam_width: int = 25,
+                           blank: int = 0):
+    """C CTC prefix beam over (T, C) log-probs -> (labels, score).
+
+    Returns None when no compiler is available (callers fall back to the
+    pure-Python lip2speech_tpu.data.text.ctc_beam_search, which implements
+    identical semantics and serves as this function's test oracle)."""
+    lib = _lib("ctc_beam", _cfg_ctc_beam)
+    if lib is None:
+        return None
+    lp = np.ascontiguousarray(np.asarray(log_probs, dtype=np.float32))
+    t, c = lp.shape
+    out = np.zeros(max(t, 1), np.int32)
+    score = ctypes.c_double(0.0)
+    n = lib.ctc_beam_search_f32(
+        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, c,
+        int(beam_width), int(blank),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(out),
+        ctypes.byref(score))
+    if n < 0:
+        raise MemoryError(f"ctc_beam_search failed ({n})")
+    return [int(x) for x in out[:n]], float(score.value)
