@@ -34,6 +34,19 @@ def main(argv=None):
     p.add_argument("--no-repeat-ngram", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--out-dir", required=True)
+    # hybrid CTC/attention decoding (the RAVEn eval path; needs --raven)
+    p.add_argument("--raven", action="store_true",
+                   help="RavenASR model (encoder+CTC+decoder, joint decode)")
+    p.add_argument("--ctc-weight", type=float, default=0.0,
+                   help="joint CTC/attention weight (RavenASR only)")
+    # LM shallow fusion
+    p.add_argument("--lm-checkpoint", default=None,
+                   help="orbax variables dir for a TransformerLM")
+    p.add_argument("--lm-weight", type=float, default=0.0)
+    p.add_argument("--lm-dim", type=int, default=512)
+    p.add_argument("--lm-heads", type=int, default=8)
+    p.add_argument("--lm-ffn-dim", type=int, default=2048)
+    p.add_argument("--lm-layers", type=int, default=6)
     # architecture (reference AVHubertSeq2Seq large defaults)
     p.add_argument("--encoder-dim", type=int, default=1024)
     p.add_argument("--encoder-heads", type=int, default=16)
@@ -53,13 +66,36 @@ def main(argv=None):
     from lip2speech_tpu.models.avhubert_asr import AVHubertSeq2Seq, Seq2SeqConfig
 
     processor = SentenceProcessor(args.vocab)
-    cfg = Seq2SeqConfig(
-        vocab_size=processor.num_classes,
-        encoder_dim=args.encoder_dim, encoder_heads=args.encoder_heads,
-        encoder_ffn_dim=args.encoder_ffn_dim, encoder_layers=args.encoder_layers,
-        decoder_dim=args.encoder_dim, decoder_heads=args.decoder_heads,
-        decoder_ffn_dim=args.decoder_ffn_dim, decoder_layers=args.decoder_layers)
-    model = AVHubertSeq2Seq(cfg)
+    if args.raven:
+        from lip2speech_tpu.models.raven_asr import RavenASR, RavenASRConfig
+
+        # espnet layout: blank=0, sos=eos=last -> two extra symbols
+        model = RavenASR(RavenASRConfig(
+            vocab_size=processor.num_classes + 2,
+            dim=args.encoder_dim, heads=args.encoder_heads,
+            ffn_dim=args.encoder_ffn_dim, layers=args.encoder_layers,
+            decoder_layers=args.decoder_layers,
+            decoder_heads=args.decoder_heads))
+    else:
+        cfg = Seq2SeqConfig(
+            vocab_size=processor.num_classes,
+            encoder_dim=args.encoder_dim, encoder_heads=args.encoder_heads,
+            encoder_ffn_dim=args.encoder_ffn_dim, encoder_layers=args.encoder_layers,
+            decoder_dim=args.encoder_dim, decoder_heads=args.decoder_heads,
+            decoder_ffn_dim=args.decoder_ffn_dim, decoder_layers=args.decoder_layers)
+        model = AVHubertSeq2Seq(cfg)
+
+    lm = lm_vars = None
+    if args.lm_checkpoint and args.lm_weight:
+        from lip2speech_tpu.models.lm import TransformerLM
+        from lip2speech_tpu.train.checkpoint import load_pytree as load_lm
+
+        vocab = (processor.num_classes + 2 if args.raven
+                 else processor.num_classes)
+        lm = TransformerLM(vocab_size=vocab, dim=args.lm_dim,
+                           heads=args.lm_heads, ffn_dim=args.lm_ffn_dim,
+                           layers=args.lm_layers)
+        lm_vars = load_lm(args.lm_checkpoint)
 
     ds = Stage1Dataset(args.tsv, root_override=args.root, train=False)
     first = next(ds.batches(args.batch_size))
@@ -79,13 +115,21 @@ def main(argv=None):
 
     hypos: dict = {}
     refs, hyps = [], []
+    lm_kw = ({"lm": lm, "lm_variables": lm_vars, "lm_weight": args.lm_weight}
+             if lm is not None else {})
     for batch in ds.batches(args.batch_size):
-        nbest, scores = model.decode_beam(
-            jax.tree_util.tree_map(jnp.asarray, variables),
-            jnp.asarray(batch["video"]), jnp.asarray(batch["frames_mask"]),
-            beam=args.beam, max_len=args.max_len,
-            len_penalty=args.len_penalty,
-            no_repeat_ngram_size=args.no_repeat_ngram)
+        dev_vars = jax.tree_util.tree_map(jnp.asarray, variables)
+        video = jnp.asarray(batch["video"])
+        mask = jnp.asarray(batch["frames_mask"])
+        if args.raven:
+            nbest, scores = model.decode_joint(
+                dev_vars, video, mask, beam=args.beam, max_len=args.max_len,
+                ctc_weight=args.ctc_weight, **lm_kw)
+        else:
+            nbest, scores = model.decode_beam(
+                dev_vars, video, mask, beam=args.beam, max_len=args.max_len,
+                len_penalty=args.len_penalty,
+                no_repeat_ngram_size=args.no_repeat_ngram, **lm_kw)
         for i, uid in enumerate(batch["ids"]):
             text = processor.decode(
                 [t for t in nbest[i][0] if t < processor.num_classes])
