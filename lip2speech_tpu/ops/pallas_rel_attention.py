@@ -19,12 +19,16 @@ Scores = (AC + BD)/sqrt(dk) stream through an online softmax, so the (T, T)
 score tensor never hits HBM (at T=1200 that is ~180 MB/layer saved).
 Runs compiled on TPU; interpret mode elsewhere.
 
-Training: `rel_flash_attention` carries a custom VJP — flash kernel on the
-forward (nothing quadratic saved), dense recompute on the backward (the
-(T, T) probabilities exist only transiently inside the backward, exactly
-like a rematerialized dense layer). Gradients are those of the dense
-reference math; parity vs autodiff-through-dense is tested in
-tests/test_pallas_rel_attention.py.
+Training: `rel_flash_attention` carries a custom VJP. The forward kernel
+additionally emits the per-row log-sum-exp; the default backward
+(bwd="kernel") is a fused Pallas kernel (_bwd_kernel) that recomputes each
+score tile from the saved LSE and produces dQu/dQv/dK/dV and the position
+-table gradient via the inverse band shear — O(T) memory end to end,
+nothing quadratic ever in HBM. bwd="dense" keeps the dense-recompute VJP
+as a fallback/oracle. Gradient parity vs autodiff-through-dense is exact
+in interpret mode (tests/test_pallas_rel_attention.py); compiled on TPU
+both forward and backward are bf16-class (~1e-3 relative — the MXU's
+native precision), the accuracy regime bf16 training already lives in.
 """
 
 from __future__ import annotations
@@ -67,11 +71,41 @@ def _band_extract_rolls(gp: jnp.ndarray, bk: int) -> jnp.ndarray:
     return x[:, :bk]
 
 
-def _kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref, o_ref,
+def _band_scatter_rolls(ds: jnp.ndarray, w2: int) -> jnp.ndarray:
+    """Inverse of _band_extract_rolls: (bq, bk) band grads -> (bq, w2)
+    with out[a, (bq - a + b) % w2] = ds[a, b] (zeros elsewhere).
+
+    Right-rotating row a by rot_a undoes the extract's left rotation; the
+    zero-padded columns [bk:] land on the never-read positions (incl. the
+    junk column 0), so no explicit masking is needed."""
+    bq, bk = ds.shape
+    x = jnp.pad(ds, ((0, 0), (0, w2 - bk)))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bq, w2), 0)
+    rot = (rows - bq) % w2          # right-rotate by (bq - a) == left by this
+    shift = 1
+    while shift < w2:
+        rolled = pltpu.roll(x, w2 - shift, 1)
+        x = jnp.where((rot & shift) > 0, rolled, x)
+        shift *= 2
+    return x
+
+
+def _scores_block(qu, qv, k_blk, p_slice, mask_blk, scale, block_k):
+    """Masked (bq, bk) scores for one (q-block, k-block) pair — shared by
+    the forward and both backward kernels."""
+    ac = jnp.dot(qu, k_blk.T, preferred_element_type=jnp.float32)
+    g = jnp.dot(qv, p_slice.T, preferred_element_type=jnp.float32)
+    bd = _band_extract_rolls(g, block_k)
+    s = (ac + bd) * scale
+    return jnp.where(mask_blk[None, :] > 0, s, NEG_INF)
+
+
+def _kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref, o_ref, lse_ref,
             *, block_k: int, scale: float):
     """One (batch*head, q-block) program.
 
     qu/qv: (1, bq, dk); k/v: (1, T, dk); p: (1, 2T-1, dk); mask: (1, 1, T).
+    Also emits the per-row log-sum-exp (the backward pass's softmax state).
     """
     _, bq, dk = qu_ref.shape
     t = k_ref.shape[1]
@@ -88,16 +122,11 @@ def _kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref, o_ref,
         v_blk = v_ref[0, pl.ds(kj, block_k), :]
         mask_blk = mask_ref[0, 0, pl.ds(kj, block_k)]
 
-        ac = jnp.dot(qu, k_blk.T, preferred_element_type=jnp.float32)
         # p_ref is the +1-junk-row padded table: rows [s, s+bq+bk) cover the
         # original [s-1, s+bq+bk-1); column 0 of g is never read
         s_start = t - qi - bq + kj
         p_slice = p_ref[0, pl.ds(s_start, bq + block_k), :]
-        g = jnp.dot(qv, p_slice.T, preferred_element_type=jnp.float32)
-        bd = _band_extract_rolls(g, block_k)
-
-        s = (ac + bd) * scale
-        s = jnp.where(mask_blk[None, :] > 0, s, NEG_INF)
+        s = _scores_block(qu, qv, k_blk, p_slice, mask_blk, scale, block_k)
 
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
         alpha = jnp.exp(m_prev - m_cur)
@@ -112,6 +141,87 @@ def _kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref, o_ref,
     l0 = jnp.zeros((bq,), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
     o_ref[0, :, :] = (acc / jnp.maximum(l, 1e-20)[:, None]).astype(o_ref.dtype)
+    # rows with no valid key keep m = NEG_INF, so lse stays ~NEG_INF with
+    # no boolean select (Mosaic: no 1-D i1 minor-dim inserts)
+    lse_ref[0, 0, :] = m + jnp.log(jnp.maximum(l, 1e-20))
+
+
+def _bwd_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref, lse_ref,
+                o_ref, do_ref,
+                dqu_ref, dqv_ref, dk_ref, dv_ref, dp_ref,
+                *, block_q: int, block_k: int, scale: float):
+    """One batch*head program: the FULL flash backward, O(T) memory.
+
+    Recomputes each (q-block, k-block) score tile from the forward's saved
+    log-sum-exp (P = exp(S - lse)), then
+        dS = P o (dO V^T - D),  D = rowsum(dO o O)
+        dQu = dS K,  dK = dS^T Qu,  dV = P^T dO          (all * scale where due)
+        dQv = scatter(dS) P_slice,  dP_tbl = scatter(dS)^T Qv
+    where scatter() is the inverse of the band shear (_band_scatter_rolls).
+    dK/dV/dP accumulate across q-blocks in VMEM; nothing quadratic is ever
+    materialized."""
+    t = qu_ref.shape[1]
+    n_qb = t // block_q
+    n_kb = t // block_k
+
+    dk_ref[0, :, :] = jnp.zeros_like(dk_ref[0, :, :])
+    dv_ref[0, :, :] = jnp.zeros_like(dv_ref[0, :, :])
+    dp_ref[0, :, :] = jnp.zeros_like(dp_ref[0, :, :])
+
+    def q_body(qb, _):
+        qi = qb * block_q
+        qu = qu_ref[0, pl.ds(qi, block_q), :]
+        qv = qv_ref[0, pl.ds(qi, block_q), :]
+        do_blk = do_ref[0, pl.ds(qi, block_q), :].astype(jnp.float32)
+        o_blk = o_ref[0, pl.ds(qi, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qi, block_q)]
+        dvec = jnp.sum(do_blk * o_blk, axis=1)
+
+        def k_body(kb, carry):
+            dqu_acc, dqv_acc = carry
+            kj = kb * block_k
+            k_blk = k_ref[0, pl.ds(kj, block_k), :]
+            v_blk = v_ref[0, pl.ds(kj, block_k), :]
+            mask_blk = mask_ref[0, 0, pl.ds(kj, block_k)]
+            s_start = t - qi - block_q + kj
+            p_slice = p_ref[0, pl.ds(s_start, block_q + block_k), :]
+
+            s = _scores_block(qu, qv, k_blk, p_slice, mask_blk, scale,
+                              block_k)
+            # broadcast lse to 2-D BEFORE any boolean op (Mosaic cannot
+            # minor-dim-insert 1-D i1 vectors); fully-masked rows get
+            # p_row = 0
+            lse2 = jax.lax.broadcast_in_dim(lse, s.shape, (0,))
+            valid2 = lse2 > NEG_INF / 2
+            p_row = jnp.where(valid2, jnp.exp(s - jnp.where(valid2, lse2,
+                                                            0.0)), 0.0)
+            dp_blk = jnp.dot(do_blk, v_blk.T.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+            ds_s = p_row * (dp_blk - dvec[:, None]) * scale
+
+            dqu_acc = dqu_acc + jnp.dot(ds_s, k_blk.astype(jnp.float32),
+                                        preferred_element_type=jnp.float32)
+            dk_ref[0, pl.ds(kj, block_k), :] += jnp.dot(
+                ds_s.T, qu.astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            dv_ref[0, pl.ds(kj, block_k), :] += jnp.dot(
+                p_row.T, do_blk, preferred_element_type=jnp.float32)
+
+            dg = _band_scatter_rolls(ds_s, block_q + block_k)
+            dqv_acc = dqv_acc + jnp.dot(dg, p_slice.astype(jnp.float32),
+                                        preferred_element_type=jnp.float32)
+            dp_ref[0, pl.ds(s_start, block_q + block_k), :] += jnp.dot(
+                dg.T, qv.astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            return dqu_acc, dqv_acc
+
+        z = jnp.zeros((block_q, qu_ref.shape[2]), jnp.float32)
+        dqu_acc, dqv_acc = jax.lax.fori_loop(0, n_kb, k_body, (z, z))
+        dqu_ref[0, pl.ds(qi, block_q), :] = dqu_acc
+        dqv_ref[0, pl.ds(qi, block_q), :] = dqv_acc
+        return 0
+
+    jax.lax.fori_loop(0, n_qb, q_body, 0)
 
 
 def dense_rel_attention(q_u, q_v, k, v, p, mask):
@@ -133,19 +243,10 @@ def dense_rel_attention(q_u, q_v, k, v, p, mask):
     return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def _rel_flash_impl(
-    q_u: jnp.ndarray,     # (B, H, T, dk)  query + pos_bias_u
-    q_v: jnp.ndarray,     # (B, H, T, dk)  query + pos_bias_v
-    k: jnp.ndarray,       # (B, H, T, dk)
-    v: jnp.ndarray,       # (B, H, T, dk)
-    p: jnp.ndarray,       # (H, 2T-1, dk)  projected position table (per head)
-    mask: jnp.ndarray,    # (B, T) True = valid key
-    block: int = 128,
-    interpret: bool = False,
-) -> jnp.ndarray:
+def _pad_inputs(q_u, q_v, k, v, p, mask, block):
+    """Pad T up to a block multiple; re-center + junk-pad the position
+    table. Returns flattened (b*h, ...) tensors ready for the kernels."""
     b, h, t, dk = q_u.shape
-    scale = 1.0 / np.sqrt(dk)
     blk = min(block, max(8, t))
     t_pad = ((t + blk - 1) // blk) * blk
     if t_pad != t:
@@ -164,9 +265,29 @@ def _rel_flash_impl(
     maskf = jnp.repeat(mask.astype(jnp.int32), h, axis=0).reshape(b * h, 1, t_pad)
     # one junk row at the front keeps the in-kernel G matrix lane-aligned
     p = jnp.pad(p, [(0, 0), (1, 0), (0, 0)])            # (H, 2*t_pad, dk)
+    return qu, qv, kf, vf, p, maskf, blk, t_pad
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret",
+                                             "return_lse"))
+def _rel_flash_impl(
+    q_u: jnp.ndarray,     # (B, H, T, dk)  query + pos_bias_u
+    q_v: jnp.ndarray,     # (B, H, T, dk)  query + pos_bias_v
+    k: jnp.ndarray,       # (B, H, T, dk)
+    v: jnp.ndarray,       # (B, H, T, dk)
+    p: jnp.ndarray,       # (H, 2T-1, dk)  projected position table (per head)
+    mask: jnp.ndarray,    # (B, T) True = valid key
+    block: int = 128,
+    interpret: bool = False,
+    return_lse: bool = False,
+):
+    b, h, t, dk = q_u.shape
+    scale = 1.0 / np.sqrt(dk)
+    qu, qv, kf, vf, pp, maskf, blk, t_pad = _pad_inputs(
+        q_u, q_v, k, v, p, mask, block)
 
     grid = (b * h, t_pad // blk)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_kernel, block_k=blk, scale=scale),
         grid=grid,
         in_specs=[
@@ -178,37 +299,109 @@ def _rel_flash_impl(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, t_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, blk, dk), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, dk), q_u.dtype),
+        out_specs=[
+            pl.BlockSpec((1, blk, dk), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, blk), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, t_pad, dk), q_u.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, t_pad), jnp.float32),
+        ],
         interpret=interpret,
-    )(qu, qv, kf, vf, p, maskf)
-    return out.reshape(b, h, t_pad, dk)[:, :, :t, :]
+    )(qu, qv, kf, vf, pp, maskf)
+    out = out.reshape(b, h, t_pad, dk)[:, :, :t, :]
+    if return_lse:
+        return out, lse.reshape(b, h, t_pad)[:, :, :t]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _rel_flash_bwd_impl(q_u, q_v, k, v, p, mask, lse, out, g,
+                        block: int = 128, interpret: bool = False):
+    """Flash backward: one fused Pallas kernel per batch*head program."""
+    b, h, t, dk = q_u.shape
+    scale = 1.0 / np.sqrt(dk)
+    qu, qv, kf, vf, pp, maskf, blk, t_pad = _pad_inputs(
+        q_u, q_v, k, v, p, mask, block)
+    extra = t_pad - t
+    pad3 = [(0, 0), (0, 0), (0, extra), (0, 0)]
+    of = jnp.pad(out, pad3).reshape(b * h, t_pad, dk)
+    gf = jnp.pad(g, pad3).reshape(b * h, t_pad, dk)
+    lsef = jnp.pad(lse, [(0, 0), (0, 0), (0, extra)],
+                   constant_values=NEG_INF).reshape(b * h, 1, t_pad)
+
+    full = lambda i: (i, 0, 0)          # noqa: E731
+    spec3 = pl.BlockSpec((1, t_pad, dk), full, memory_space=pltpu.VMEM)
+    dqu, dqv, dkk, dvv, dpp = pl.pallas_call(
+        functools.partial(_bwd_kernel, block_q=blk, block_k=blk, scale=scale),
+        grid=(b * h,),
+        in_specs=[
+            spec3, spec3, spec3, spec3,
+            pl.BlockSpec((1, 2 * t_pad, dk), lambda i: (i % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec3, spec3,
+        ],
+        out_specs=[spec3, spec3, spec3, spec3,
+                   pl.BlockSpec((1, 2 * t_pad, dk), full,
+                                memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, t_pad, dk), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, t_pad, dk), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, t_pad, dk), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, t_pad, dk), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, 2 * t_pad, dk), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qu, qv, kf, vf, pp, maskf, lsef, of, gf)
+
+    unflat = lambda x: x.reshape(b, h, t_pad, dk)[:, :, :t, :]  # noqa: E731
+    dq_u = unflat(dqu).astype(q_u.dtype)
+    dq_v = unflat(dqv).astype(q_v.dtype)
+    dk_ = unflat(dkk).astype(k.dtype)
+    dv_ = unflat(dvv).astype(v.dtype)
+    # dp: sum the per-(b,h) partials over b, then strip the junk row and the
+    # edge re-centering — valid positions are rows [1+extra, extra+2t)
+    dp_ = dpp.reshape(b, h, 2 * t_pad, dk).sum(axis=0)
+    dp_ = dp_[:, 1 + extra: extra + 2 * t, :].astype(p.dtype)
+    return dq_u, dq_v, dk_, dv_, dp_
 
 
 # ---------------------------------------------------------------------------
-# differentiable entry point: flash forward, dense-recompute backward
+# differentiable entry point: flash forward, flash (or dense-remat) backward
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _rel_flash(block, interpret, q_u, q_v, k, v, p, mask):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _rel_flash(block, interpret, bwd, q_u, q_v, k, v, p, mask):
     return _rel_flash_impl(q_u, q_v, k, v, p, mask,
                            block=block, interpret=interpret)
 
 
-def _rel_flash_fwd(block, interpret, q_u, q_v, k, v, p, mask):
-    out = _rel_flash_impl(q_u, q_v, k, v, p, mask,
-                          block=block, interpret=interpret)
-    return out, (q_u, q_v, k, v, p, mask)
+def _rel_flash_fwd(block, interpret, bwd, q_u, q_v, k, v, p, mask):
+    out, lse = _rel_flash_impl(q_u, q_v, k, v, p, mask,
+                               block=block, interpret=interpret,
+                               return_lse=True)
+    return out, (q_u, q_v, k, v, p, mask, lse, out)
 
 
-def _rel_flash_bwd(block, interpret, residuals, g):
-    q_u, q_v, k, v, p, mask = residuals
-    _, vjp = jax.vjp(
-        lambda a, b, c, d, e: dense_rel_attention(a, b, c, d, e, mask),
-        q_u, q_v, k, v, p)
-    dq_u, dq_v, dk_, dv_, dp_ = vjp(g)
+def _rel_flash_bwd(block, interpret, bwd, residuals, g):
+    q_u, q_v, k, v, p, mask, lse, out = residuals
+    if bwd == "kernel":
+        dq_u, dq_v, dk_, dv_, dp_ = _rel_flash_bwd_impl(
+            q_u, q_v, k, v, p, mask, lse, out, g,
+            block=block, interpret=interpret)
+    else:
+        # dense rematerialization: the (T, T) probabilities exist only
+        # transiently inside this backward, like a rematerialized layer
+        _, vjp = jax.vjp(
+            lambda a, b, c, d, e: dense_rel_attention(a, b, c, d, e, mask),
+            q_u, q_v, k, v, p)
+        dq_u, dq_v, dk_, dv_, dp_ = vjp(g)
     dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
     return dq_u, dq_v, dk_, dv_, dp_, dmask
 
@@ -217,8 +410,11 @@ _rel_flash.defvjp(_rel_flash_fwd, _rel_flash_bwd)
 
 
 def rel_flash_attention(q_u, q_v, k, v, p, mask,
-                        block: int = 128, interpret: bool = False):
-    """Flash rel-attention, differentiable: Pallas kernel forward (O(T)
-    memory, nothing quadratic saved), dense recompute in the backward —
-    the (T, T) probabilities exist only transiently during grad."""
-    return _rel_flash(block, interpret, q_u, q_v, k, v, p, mask)
+                        block: int = 128, interpret: bool = False,
+                        bwd: str = "kernel"):
+    """Flash rel-attention, differentiable. Forward: Pallas online-softmax
+    kernel (O(T) memory, saves only out + log-sum-exp). Backward:
+    bwd="kernel" (default) runs the fused flash backward kernel
+    (_bwd_kernel) — nothing quadratic ever hits HBM; bwd="dense" falls back
+    to dense recompute of the probabilities inside the VJP."""
+    return _rel_flash(block, interpret, bwd, q_u, q_v, k, v, p, mask)

@@ -120,3 +120,33 @@ def test_conformer_train_step_with_flash_backward():
     # attention projections actually received gradient
     attn_g = g["layers_0"]["self_attn"]["linear_q"]["weight"]
     assert float(jnp.abs(attn_g).max()) > 0.0
+
+
+@pytest.mark.parametrize("t,block", [(40, 16), (33, 16)])
+def test_kernel_backward_matches_dense_backward(t, block):
+    """The fused flash backward kernel == dense-recompute VJP, including
+    the T % block != 0 padding path."""
+    rng = np.random.default_rng(11)
+    b, h, dk = 2, 2, 16
+    mk = lambda: jnp.asarray(rng.standard_normal((b, h, t, dk), dtype=np.float32))  # noqa: E731
+    q_u, q_v, k, v = mk(), mk(), mk(), mk()
+    pe = ops.sinusoidal_rel_pos_encoding(t, h * dk)
+    p = jnp.asarray(pe.reshape(2 * t - 1, h, dk).transpose(1, 0, 2))
+    mask = np.zeros((b, t), bool)
+    mask[0, :] = True
+    mask[1, : t - 7] = True
+    mask = jnp.asarray(mask)
+
+    def loss(bwd):
+        def f(*args):
+            out = rel_flash_attention(*args, mask, block=block,
+                                      interpret=True, bwd=bwd)
+            return jnp.sum(jnp.cos(out) *
+                           jnp.where(mask[:, None, :, None], 1.0, 0.0))
+        return f
+
+    gk = jax.grad(loss("kernel"), argnums=(0, 1, 2, 3, 4))(q_u, q_v, k, v, p)
+    gd = jax.grad(loss("dense"), argnums=(0, 1, 2, 3, 4))(q_u, q_v, k, v, p)
+    for name, a, b_ in zip(("q_u", "q_v", "k", "v", "p"), gk, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5, err_msg=name)
