@@ -67,15 +67,18 @@ def main(argv=None):
 
     processor = SentenceProcessor(args.vocab)
     if args.raven:
-        from lip2speech_tpu.models.raven_asr import RavenASR, RavenASRConfig
+        from lip2speech_tpu.models.raven_asr import RavenASR
 
-        # espnet layout: blank=0, sos=eos=last -> two extra symbols
-        model = RavenASR(RavenASRConfig(
-            vocab_size=processor.num_classes + 2,
+        # espnet layout: blank=0, processor ids shifted +1, sos=eos=last
+        model = RavenASR(RavenASR.from_num_classes(
+            processor.num_classes,
             dim=args.encoder_dim, heads=args.encoder_heads,
             ffn_dim=args.encoder_ffn_dim, layers=args.encoder_layers,
             decoder_layers=args.decoder_layers,
             decoder_heads=args.decoder_heads))
+        if args.no_repeat_ngram:
+            print("warning: --no-repeat-ngram is not supported by the "
+                  "joint CTC/attention decoder; ignoring")
     else:
         cfg = Seq2SeqConfig(
             vocab_size=processor.num_classes,
@@ -117,22 +120,25 @@ def main(argv=None):
     refs, hyps = [], []
     lm_kw = ({"lm": lm, "lm_variables": lm_vars, "lm_weight": args.lm_weight}
              if lm is not None else {})
+    dev_vars = jax.tree_util.tree_map(jnp.asarray, variables)
     for batch in ds.batches(args.batch_size):
-        dev_vars = jax.tree_util.tree_map(jnp.asarray, variables)
         video = jnp.asarray(batch["video"])
         mask = jnp.asarray(batch["frames_mask"])
         if args.raven:
             nbest, scores = model.decode_joint(
                 dev_vars, video, mask, beam=args.beam, max_len=args.max_len,
-                ctc_weight=args.ctc_weight, **lm_kw)
+                ctc_weight=args.ctc_weight, len_penalty=args.len_penalty,
+                **lm_kw)
         else:
             nbest, scores = model.decode_beam(
                 dev_vars, video, mask, beam=args.beam, max_len=args.max_len,
                 len_penalty=args.len_penalty,
                 no_repeat_ngram_size=args.no_repeat_ngram, **lm_kw)
         for i, uid in enumerate(batch["ids"]):
+            hyp = (model.to_text_ids(nbest[i][0]) if args.raven
+                   else nbest[i][0])
             text = processor.decode(
-                [t for t in nbest[i][0] if t < processor.num_classes])
+                [t for t in hyp if t < processor.num_classes])
             hypos[uid] = {"hypo": text, "score": float(np.asarray(scores)[i, 0])}
             if uid in transcripts:
                 hypos[uid]["ref"] = transcripts[uid]

@@ -59,10 +59,11 @@ def evaluate_asr(
         else:
             nbest, _ = model.decode_beam(variables, video, mask, beam=beam,
                                          max_len=max_len, **lm_kw)
+        to_text = getattr(model, "to_text_ids", lambda h: h)
         for uid, hyp_rows in zip(batch["ids"], nbest):
             if uid not in transcripts:
                 continue
-            text = processor.decode([t for t in hyp_rows[0]
+            text = processor.decode([t for t in to_text(hyp_rows[0])
                                      if t < processor.num_classes])
             refs.append(transcripts[uid])
             hyps.append(text)

@@ -31,6 +31,11 @@ from lip2speech_tpu.models.layers import Linear
 
 @dataclass
 class RavenASRConfig:
+    """espnet token layout: model id 0 = <blank>, ids 1..vocab_size-2 are
+    the text-processor's tokens SHIFTED BY +1, id vocab_size-1 = <sos/eos>.
+    `from_num_classes(nc)` builds the config for an nc-token processor;
+    `to_text_ids` undoes the shift when decoding hypotheses."""
+
     vocab_size: int = 1000
     dim: int = 768
     heads: int = 12
@@ -38,10 +43,11 @@ class RavenASRConfig:
     layers: int = 12
     decoder_layers: int = 6
     decoder_heads: int = 4
-    # espnet token conventions (blank first, sos==eos==last)
     blank: int = 0
-    unk: int = 1
-    pad: int = 1          # espnet has no pad; unk doubles as buffer filler
+    # espnet has no pad/unk at the model level; blank doubles as the token
+    # -buffer filler and both are banned in the beam (the ban set is {0})
+    unk: int = 0
+    pad: int = 0
     @property
     def bos(self) -> int:
         return self.vocab_size - 1
@@ -87,12 +93,29 @@ class RavenASR:
             r2, jnp.zeros((video.shape[0], 1), jnp.int32), enc, frames_mask)
         return {"encoder": enc_vars, "decoder": dec_vars}
 
+    @staticmethod
+    def from_num_classes(num_classes: int, **kw) -> "RavenASRConfig":
+        """Config for an `num_classes`-token text processor (+blank, +eos)."""
+        return RavenASRConfig(vocab_size=num_classes + 2, **kw)
+
+    def to_text_ids(self, hyp: list[int]) -> list[int]:
+        """Model-space hypothesis -> text-processor token ids (-1 shift,
+        specials dropped)."""
+        return [t - 1 for t in hyp if 1 <= t <= self.cfg.vocab_size - 2]
+
     def decode_joint(self, variables, video, frames_mask, beam: int = 10,
                      max_len: int = 50, ctc_weight: float = 0.1,
                      lm=None, lm_variables=None, lm_weight: float = 0.0,
-                     pre_beam: int = 0):
-        """Hybrid CTC/attention beam decode -> n-best token lists."""
+                     pre_beam: int = 0, len_penalty: float = 0.0,
+                     parallel_time: bool | None = None):
+        """Hybrid CTC/attention beam decode -> n-best token lists.
+
+        parallel_time=None auto-selects the O(log T) associative-scan CTC
+        recursion on TPU (decode/ctc_joint.py) and the sequential scan
+        elsewhere."""
         cfg = self.cfg
+        if parallel_time is None:
+            parallel_time = jax.default_backend() == "tpu"
         enc, ctc_logp = self.encoder.apply(
             variables["encoder"], video, frames_mask, train=False)
         b = enc.shape[0]
@@ -115,7 +138,8 @@ class RavenASR:
             max_len=max_len, ctc_weight=ctc_weight,
             lm_score_prefix=lm_score, lm_weight=lm_weight,
             bos=cfg.bos, eos=cfg.eos, pad=cfg.pad, unk=cfg.unk,
-            blank=cfg.blank, pre_beam=pre_beam)
+            blank=cfg.blank, pre_beam=pre_beam, len_penalty=len_penalty,
+            parallel_time=parallel_time)
         tokens = np.asarray(tokens)
         return [[strip_sequence(tokens[i, k], cfg.bos, cfg.eos)
                  for k in range(beam)] for i in range(b)], np.asarray(scores)

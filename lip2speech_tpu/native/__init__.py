@@ -41,11 +41,16 @@ def _build(stem: str) -> Path | None:
 def _lib(stem: str, configure):
     with _LOCK:
         if stem not in _LIBS:
-            path = _build(stem)
             lib = None
-            if path is not None:
-                lib = ctypes.CDLL(str(path))
-                configure(lib)
+            try:
+                path = _build(stem)
+                if path is not None:
+                    lib = ctypes.CDLL(str(path))
+                    configure(lib)
+            except (OSError, AttributeError):
+                # stale/truncated .so or missing symbol: fall back to Python
+                # permanently rather than re-raising on every call
+                lib = None
             _LIBS[stem] = lib
     return _LIBS[stem]
 
@@ -103,5 +108,8 @@ def ctc_beam_search_native(log_probs: np.ndarray, beam_width: int = 25,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(out),
         ctypes.byref(score))
     if n < 0:
-        raise MemoryError(f"ctc_beam_search failed ({n})")
+        # allocation failure (the C path preallocates O(T*beam*k)) or
+        # output-capacity surprise: let the O(beam)-state Python
+        # implementation handle it instead of crashing
+        return None
     return [int(x) for x in out[:n]], float(score.value)

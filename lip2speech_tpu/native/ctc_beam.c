@@ -64,12 +64,15 @@ static int cmp_desc(const void *a, const void *b) {
     return sa < sb ? 1 : (sa > sb ? -1 : 0);
 }
 
-/* partial selection: put the k largest-log-prob class indices first */
+/* partial selection: put the k largest-log-prob class indices first.
+ * Ties keep the HIGHER class index, matching the Python oracle's
+ * np.argsort()[::-1] (reversed stable ascending sort). */
 static void sort_topk(int32_t *idx, int32_t c, int32_t k, const float *lp) {
     for (int32_t i = 0; i < k; i++) {
         int32_t m = i;
         for (int32_t j = i + 1; j < c; j++)
-            if (lp[idx[j]] > lp[idx[m]]) m = j;
+            if (lp[idx[j]] > lp[idx[m]] ||
+                (lp[idx[j]] == lp[idx[m]] && idx[j] > idx[m])) m = j;
         int32_t tmp = idx[i]; idx[i] = idx[m]; idx[m] = tmp;
     }
 }

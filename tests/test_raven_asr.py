@@ -83,3 +83,15 @@ def test_evaluate_asr_joint_path(tmp_path):
     res = evaluate_asr(model, variables, root / "label/test.tsv", transcripts,
                        beam=2, max_len=5, ctc_weight=0.3)
     assert res.n_utts == 2 and res.wer >= 0.0
+
+
+def test_token_mapping_roundtrip():
+    from lip2speech_tpu.models.raven_asr import RavenASR
+
+    cfg = RavenASR.from_num_classes(10, dim=32, heads=2, ffn_dim=64,
+                                    layers=1, decoder_layers=1,
+                                    decoder_heads=2)
+    assert cfg.vocab_size == 12 and cfg.eos == 11 and cfg.blank == 0
+    model = RavenASR(cfg)
+    # model-space hyp [blank, piece0+1, piece9+1, eos] -> processor ids
+    assert model.to_text_ids([0, 1, 10, 11]) == [0, 9]
