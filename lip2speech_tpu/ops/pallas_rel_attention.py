@@ -356,6 +356,11 @@ def _rel_flash_bwd_impl(q_u, q_v, k, v, p, mask, lse, out, g,
             jax.ShapeDtypeStruct((b * h, t_pad, dk), jnp.float32),
             jax.ShapeDtypeStruct((b * h, 2 * t_pad, dk), jnp.float32),
         ],
+        # the fused per-batch*head program holds ~13 arrays of (T, dk) rows
+        # in VMEM at once; at T≈2400 that exceeds Mosaic's default 16 MiB
+        # scoped budget, so raise it toward the chip's physical VMEM
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(qu, qv, kf, vf, pp, maskf, lsef, of, gf)
 
