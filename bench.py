@@ -86,10 +86,14 @@ def _train_step_stage1(iters=5):
     from lip2speech_tpu.train import stage1
 
     cfg = preset("multi_target")
+    # attention_dropout must be 0 for the flash path to be selected under
+    # train=True (conformer.py gate) — with the preset's 0.1 the "flash"
+    # number would silently time the dense program
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(
             cfg.model, conformer=dataclasses.replace(
-                cfg.model.conformer, use_flash=True)))
+                cfg.model.conformer, use_flash=True,
+                attention_dropout=0.0)))
     b, t = 2, 240
     rng = np.random.default_rng(1)
     batch = {

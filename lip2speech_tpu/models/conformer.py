@@ -72,19 +72,28 @@ class RelPositionMultiHeadAttention(nn.Module):
         bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, dk))
 
         # Pallas rel-flash kernel: compiled on TPU (the band shear runs as
-        # log2 static rolls), interpret mode elsewhere; differentiable via
-        # dense-recompute VJP, so it serves training too (unless attention
-        # dropout is active — flash cannot drop attn weights in-kernel)
-        if self.use_flash and (deterministic or self.dropout == 0.0):
+        # log2 static rolls), interpret mode elsewhere. Fully differentiable
+        # (fused flash backward kernel). Attention dropout runs IN-KERNEL on
+        # TPU via the Mosaic PRNG (reference recipe's attention_dropout);
+        # off-TPU with active dropout we fall through to the dense path
+        # (interpret-mode PRNG is stubbed to zeros).
+        on_tpu = jax.devices()[0].platform == "tpu"
+        attn_rate = 0.0 if deterministic else self.dropout
+        if self.use_flash and (attn_rate == 0.0 or on_tpu):
             from lip2speech_tpu.ops.pallas_rel_attention import rel_flash_attention
 
+            seed = None
+            if attn_rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (1,),
+                                          0, 2 ** 31 - 1)
             key_mask = mask if mask is not None else jnp.ones((b, t), bool)
             out = rel_flash_attention(
                 (q + bias_u).transpose(0, 2, 1, 3),
                 (q + bias_v).transpose(0, 2, 1, 3),
                 k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
                 p.transpose(1, 0, 2), key_mask,
-                interpret=jax.devices()[0].platform != "tpu")
+                interpret=not on_tpu,
+                dropout_rate=attn_rate, dropout_seed=seed)
             out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
             return Linear(d, name="linear_out")(out)
 

@@ -100,17 +100,37 @@ def _scores_block(qu, qv, k_blk, p_slice, mask_blk, scale, block_k):
     return jnp.where(mask_blk[None, :] > 0, s, NEG_INF)
 
 
-def _kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref, o_ref, lse_ref,
-            *, block_k: int, scale: float):
+def _keep_mask(shape, rate: float):
+    """Per-element keep mask / (1-rate) from the seeded in-kernel PRNG.
+    Caller must have run pltpu.prng_seed; generation ORDER is part of the
+    fwd/bwd contract (same seed + same sequence of calls = same masks)."""
+    thresh = np.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
+    bits = pltpu.prng_random_bits(shape)
+    # int32 -> uint32 astype wraps mod 2^32 (same bit pattern)
+    keep = (bits.astype(jnp.uint32) >= thresh).astype(jnp.float32)
+    return keep * (1.0 / (1.0 - rate))
+
+
+def _kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref,
+            o_ref, lse_ref, *, block_k: int, scale: float,
+            dropout_rate: float):
     """One (batch*head, q-block) program.
 
     qu/qv: (1, bq, dk); k/v: (1, T, dk); p: (1, 2T-1, dk); mask: (1, 1, T).
     Also emits the per-row log-sum-exp (the backward pass's softmax state).
+    dropout_rate > 0 drops attention PROBABILITIES (normalizer l is always
+    computed from the undropped terms, matching dense softmax->dropout
+    order); masks come from the in-kernel PRNG seeded per (bh, q-block).
     """
     _, bq, dk = qu_ref.shape
     t = k_ref.shape[1]
     n_kb = t // block_k
     qi = pl.program_id(1) * bq
+    if dropout_rate > 0.0:
+        # single-argument seed (this Mosaic rejects varargs prng_seed):
+        # mix (user seed, bh program, q-block) with distinct odd constants
+        pltpu.prng_seed(seed_ref[0] * 1000003
+                        + pl.program_id(0) * 7919 + pl.program_id(1))
 
     qu = qu_ref[0, :, :]
     qv = qv_ref[0, :, :]
@@ -132,7 +152,9 @@ def _kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref, o_ref, lse_ref,
         alpha = jnp.exp(m_prev - m_cur)
         pexp = jnp.exp(s - m_cur[:, None])
         l_cur = l_prev * alpha + jnp.sum(pexp, axis=1)
-        acc = acc * alpha[:, None] + jnp.dot(pexp, v_blk,
+        pexp_v = (pexp * _keep_mask((bq, block_k), dropout_rate)
+                  if dropout_rate > 0.0 else pexp)
+        acc = acc * alpha[:, None] + jnp.dot(pexp_v, v_blk,
                                              preferred_element_type=jnp.float32)
         return acc, m_cur, l_cur
 
@@ -146,10 +168,11 @@ def _kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref, o_ref, lse_ref,
     lse_ref[0, 0, :] = m + jnp.log(jnp.maximum(l, 1e-20))
 
 
-def _bwd_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref, lse_ref,
-                o_ref, do_ref,
+def _bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref,
+                lse_ref, o_ref, do_ref,
                 dqu_ref, dqv_ref, dk_ref, dv_ref, dp_ref,
-                *, block_q: int, block_k: int, scale: float):
+                *, block_q: int, block_k: int, scale: float,
+                dropout_rate: float):
     """One batch*head program: the FULL flash backward, O(T) memory.
 
     Recomputes each (q-block, k-block) score tile from the forward's saved
@@ -176,6 +199,11 @@ def _bwd_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref, lse_ref,
         o_blk = o_ref[0, pl.ds(qi, block_q), :].astype(jnp.float32)
         lse = lse_ref[0, 0, pl.ds(qi, block_q)]
         dvec = jnp.sum(do_blk * o_blk, axis=1)
+        if dropout_rate > 0.0:
+            # replay the forward's PRNG stream: same (bh, q-block) seed
+            # mixing, same per-k-block generation order
+            pltpu.prng_seed(seed_ref[0] * 1000003
+                            + pl.program_id(0) * 7919 + qb)
 
         def k_body(kb, carry):
             dqu_acc, dqv_acc = carry
@@ -197,6 +225,12 @@ def _bwd_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref, lse_ref,
                                                             0.0)), 0.0)
             dp_blk = jnp.dot(do_blk, v_blk.T.astype(jnp.float32),
                              preferred_element_type=jnp.float32)
+            if dropout_rate > 0.0:
+                keep = _keep_mask(p_row.shape, dropout_rate)
+                p_drop = p_row * keep        # P-tilde, as applied in fwd
+                dp_blk = dp_blk * keep       # cotangent through the mask
+            else:
+                p_drop = p_row
             ds_s = p_row * (dp_blk - dvec[:, None]) * scale
 
             dqu_acc = dqu_acc + jnp.dot(ds_s, k_blk.astype(jnp.float32),
@@ -205,7 +239,7 @@ def _bwd_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref, lse_ref,
                 ds_s.T, qu.astype(jnp.float32),
                 preferred_element_type=jnp.float32)
             dv_ref[0, pl.ds(kj, block_k), :] += jnp.dot(
-                p_row.T, do_blk, preferred_element_type=jnp.float32)
+                p_drop.T, do_blk, preferred_element_type=jnp.float32)
 
             dg = _band_scatter_rolls(ds_s, block_q + block_k)
             dqv_acc = dqv_acc + jnp.dot(dg, p_slice.astype(jnp.float32),
@@ -269,7 +303,7 @@ def _pad_inputs(q_u, q_v, k, v, p, mask, block):
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret",
-                                             "return_lse"))
+                                             "return_lse", "dropout_rate"))
 def _rel_flash_impl(
     q_u: jnp.ndarray,     # (B, H, T, dk)  query + pos_bias_u
     q_v: jnp.ndarray,     # (B, H, T, dk)  query + pos_bias_v
@@ -280,17 +314,27 @@ def _rel_flash_impl(
     block: int = 128,
     interpret: bool = False,
     return_lse: bool = False,
+    dropout_rate: float = 0.0,
+    seed: jnp.ndarray | None = None,
 ):
+    if dropout_rate > 0.0 and interpret:
+        raise NotImplementedError(
+            "in-kernel attention dropout needs the TPU PRNG (interpret-mode "
+            "prng_random_bits is stubbed); use the dense path off-TPU")
     b, h, t, dk = q_u.shape
     scale = 1.0 / np.sqrt(dk)
     qu, qv, kf, vf, pp, maskf, blk, t_pad = _pad_inputs(
         q_u, q_v, k, v, p, mask, block)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
 
     grid = (b * h, t_pad // blk)
     out, lse = pl.pallas_call(
-        functools.partial(_kernel, block_k=blk, scale=scale),
+        functools.partial(_kernel, block_k=blk, scale=scale,
+                          dropout_rate=dropout_rate),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, blk, dk), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk, dk), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, dk), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -310,21 +354,25 @@ def _rel_flash_impl(
             jax.ShapeDtypeStruct((b * h, 1, t_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(qu, qv, kf, vf, pp, maskf)
+    )(seed.astype(jnp.int32), qu, qv, kf, vf, pp, maskf)
     out = out.reshape(b, h, t_pad, dk)[:, :, :t, :]
     if return_lse:
         return out, lse.reshape(b, h, t_pad)[:, :, :t]
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret",
+                                             "dropout_rate"))
 def _rel_flash_bwd_impl(q_u, q_v, k, v, p, mask, lse, out, g,
-                        block: int = 128, interpret: bool = False):
+                        block: int = 128, interpret: bool = False,
+                        dropout_rate: float = 0.0, seed=None):
     """Flash backward: one fused Pallas kernel per batch*head program."""
     b, h, t, dk = q_u.shape
     scale = 1.0 / np.sqrt(dk)
     qu, qv, kf, vf, pp, maskf, blk, t_pad = _pad_inputs(
         q_u, q_v, k, v, p, mask, block)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
     extra = t_pad - t
     pad3 = [(0, 0), (0, 0), (0, extra), (0, 0)]
     of = jnp.pad(out, pad3).reshape(b * h, t_pad, dk)
@@ -335,9 +383,11 @@ def _rel_flash_bwd_impl(q_u, q_v, k, v, p, mask, lse, out, g,
     full = lambda i: (i, 0, 0)          # noqa: E731
     spec3 = pl.BlockSpec((1, t_pad, dk), full, memory_space=pltpu.VMEM)
     dqu, dqv, dkk, dvv, dpp = pl.pallas_call(
-        functools.partial(_bwd_kernel, block_q=blk, block_k=blk, scale=scale),
+        functools.partial(_bwd_kernel, block_q=blk, block_k=blk, scale=scale,
+                          dropout_rate=dropout_rate),
         grid=(b * h,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             spec3, spec3, spec3, spec3,
             pl.BlockSpec((1, 2 * t_pad, dk), lambda i: (i % h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -362,7 +412,7 @@ def _rel_flash_bwd_impl(q_u, q_v, k, v, p, mask, lse, out, g,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(qu, qv, kf, vf, pp, maskf, lsef, of, gf)
+    )(seed.astype(jnp.int32), qu, qv, kf, vf, pp, maskf, lsef, of, gf)
 
     unflat = lambda x: x.reshape(b, h, t_pad, dk)[:, :, :t, :]  # noqa: E731
     dq_u = unflat(dqu).astype(q_u.dtype)
@@ -381,25 +431,32 @@ def _rel_flash_bwd_impl(q_u, q_v, k, v, p, mask, lse, out, g,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _rel_flash(block, interpret, bwd, q_u, q_v, k, v, p, mask):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _rel_flash(block, interpret, bwd, dropout_rate, q_u, q_v, k, v, p, mask,
+               seed):
     return _rel_flash_impl(q_u, q_v, k, v, p, mask,
-                           block=block, interpret=interpret)
+                           block=block, interpret=interpret,
+                           dropout_rate=dropout_rate, seed=seed)
 
 
-def _rel_flash_fwd(block, interpret, bwd, q_u, q_v, k, v, p, mask):
+def _rel_flash_fwd(block, interpret, bwd, dropout_rate,
+                   q_u, q_v, k, v, p, mask, seed):
     out, lse = _rel_flash_impl(q_u, q_v, k, v, p, mask,
                                block=block, interpret=interpret,
-                               return_lse=True)
-    return out, (q_u, q_v, k, v, p, mask, lse, out)
+                               return_lse=True, dropout_rate=dropout_rate,
+                               seed=seed)
+    return out, (q_u, q_v, k, v, p, mask, lse, out, seed)
 
 
-def _rel_flash_bwd(block, interpret, bwd, residuals, g):
-    q_u, q_v, k, v, p, mask, lse, out = residuals
-    if bwd == "kernel":
+def _rel_flash_bwd(block, interpret, bwd, dropout_rate, residuals, g):
+    q_u, q_v, k, v, p, mask, lse, out, seed = residuals
+    if bwd == "kernel" or dropout_rate > 0.0:
+        # dropout REQUIRES the kernel backward: only it can replay the
+        # in-kernel PRNG masks
         dq_u, dq_v, dk_, dv_, dp_ = _rel_flash_bwd_impl(
             q_u, q_v, k, v, p, mask, lse, out, g,
-            block=block, interpret=interpret)
+            block=block, interpret=interpret, dropout_rate=dropout_rate,
+            seed=seed)
     else:
         # dense rematerialization: the (T, T) probabilities exist only
         # transiently inside this backward, like a rematerialized layer
@@ -408,7 +465,8 @@ def _rel_flash_bwd(block, interpret, bwd, residuals, g):
             q_u, q_v, k, v, p)
         dq_u, dq_v, dk_, dv_, dp_ = vjp(g)
     dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
-    return dq_u, dq_v, dk_, dv_, dp_, dmask
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq_u, dq_v, dk_, dv_, dp_, dmask, dseed
 
 
 _rel_flash.defvjp(_rel_flash_fwd, _rel_flash_bwd)
@@ -416,10 +474,21 @@ _rel_flash.defvjp(_rel_flash_fwd, _rel_flash_bwd)
 
 def rel_flash_attention(q_u, q_v, k, v, p, mask,
                         block: int = 128, interpret: bool = False,
-                        bwd: str = "kernel"):
+                        bwd: str = "kernel", dropout_rate: float = 0.0,
+                        dropout_seed=None):
     """Flash rel-attention, differentiable. Forward: Pallas online-softmax
     kernel (O(T) memory, saves only out + log-sum-exp). Backward:
     bwd="kernel" (default) runs the fused flash backward kernel
     (_bwd_kernel) — nothing quadratic ever hits HBM; bwd="dense" falls back
-    to dense recompute of the probabilities inside the VJP."""
-    return _rel_flash(block, interpret, bwd, q_u, q_v, k, v, p, mask)
+    to dense recompute of the probabilities inside the VJP.
+
+    dropout_rate > 0 applies attention-probability dropout INSIDE the
+    kernels via the TPU PRNG (the reference recipe's attention_dropout);
+    masks are regenerated identically in the backward from dropout_seed
+    (an int32 scalar/1-vector). TPU-only (interpret-mode PRNG is stubbed)."""
+    if dropout_seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+    return _rel_flash(block, interpret, bwd, dropout_rate,
+                      q_u, q_v, k, v, p, mask, seed)

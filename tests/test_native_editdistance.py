@@ -9,7 +9,8 @@ from lip2speech_tpu.native import _build, edit_distance
 
 
 def test_native_builds_and_matches_python():
-    assert _build() is not None, "system compiler should be available here"
+    assert _build("editdistance") is not None, \
+        "system compiler should be available here"
     rng = np.random.default_rng(0)
     for n, m in [(0, 5), (5, 0), (1, 1), (40, 37), (200, 180)]:
         a = rng.integers(0, 50, n).tolist()
