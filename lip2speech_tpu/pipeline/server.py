@@ -385,7 +385,16 @@ def main():
                    help="precompile all serving buckets before accepting traffic")
     p.add_argument("--streaming-port", type=int, default=0,
                    help="also serve the websocket frame-streaming endpoint")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard request batches over all local chips "
+                        "(Mesh('data'); params replicated)")
     args = p.parse_args()
+    mesh = None
+    if args.data_parallel:
+        from lip2speech_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"data-parallel serving over {mesh.shape['data']} devices")
     pipelines = None
     if args.checkpoint:
         import jax.numpy as jnp
@@ -404,6 +413,13 @@ def main():
     server = make_server(args.port, pipelines=pipelines, db_path=args.db,
                          use_batcher=args.batcher)
     state = server.RequestHandlerClass.state
+    if mesh is not None:
+        # applies before the first _jitted call, so every pipeline compiles
+        # with batch-sharded in_shardings
+        for pl_ in getattr(state, "pipelines", {}).values():
+            pl_.mesh = mesh
+        if getattr(state, "pipeline", None) is not None:
+            state.pipeline.mesh = mesh
     if args.warmup:
         print("warming up (compiling serving buckets)...")
         state.pipeline.warmup()
