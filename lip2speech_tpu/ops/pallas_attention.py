@@ -125,10 +125,33 @@ def reference_attention(q, k, v, mask):
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_diff(interpret, q, k, v, mask):
+    return flash_attention(q, k, v, mask, interpret=interpret)
+
+
+def _flash_diff_fwd(interpret, q, k, v, mask):
+    return flash_attention(q, k, v, mask, interpret=interpret), (q, k, v, mask)
+
+
+def _flash_diff_bwd(interpret, residuals, g):
+    # dense rematerialization: a bare pallas_call has no autodiff rule, and
+    # at these lengths the transient (T, T) probabilities are fine in bwd
+    q, k, v, mask = residuals
+    _, vjp = jax.vjp(lambda a, b, c: reference_attention(a, b, c, mask),
+                     q, k, v)
+    dq, dk_, dv = vjp(g)
+    return dq, dk_, dv, np.zeros(mask.shape, dtype=jax.dtypes.float0)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def attention(q, k, v, mask, use_pallas: bool | None = None):
-    """Dispatch: Pallas kernel on TPU, jnp elsewhere."""
+    """Dispatch: Pallas kernel on TPU, jnp elsewhere. Differentiable either
+    way (the kernel path carries a dense-recompute VJP)."""
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
     if use_pallas:
-        return flash_attention(q, k, v, mask)
+        return _flash_diff(False, q, k, v, mask)
     return reference_attention(q, k, v, mask)

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from lip2speech_tpu.ops import pallas_attention as pa
@@ -49,3 +50,32 @@ def test_dispatch_uses_reference_off_tpu():
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(pa.reference_attention(q, q, q, mask)),
                                atol=1e-6)
+
+
+def test_flash_path_is_differentiable():
+    """Gradients flow through the kernel dispatch (dense-recompute VJP) —
+    the AVHubert pretraining path hits this on TPU with attn dropout 0."""
+    from lip2speech_tpu.ops.pallas_attention import (_flash_diff,
+                                                     reference_attention)
+
+    rng = np.random.default_rng(3)
+    b, h, t, dk = 2, 2, 24, 16
+    mk = lambda: jnp.asarray(rng.standard_normal((b, h, t, dk), dtype=np.float32))  # noqa: E731
+    q, k, v = mk(), mk(), mk()
+    mask = np.ones((b, t), bool)
+    mask[1, 17:] = False
+    mask = jnp.asarray(mask)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(_flash_diff(True, q, k, v, mask)) *
+                       jnp.where(mask[:, None, :, None], 1.0, 0.0))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(reference_attention(q, k, v, mask)) *
+                       jnp.where(mask[:, None, :, None], 1.0, 0.0))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5, err_msg=name)
