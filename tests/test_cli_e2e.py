@@ -100,3 +100,31 @@ def test_train_and_infer_cli(mini_dataset, tmp_path):
     for u in voc_utts:
         assert u.mel_path.exists()
         assert u.units is not None
+
+    # stage 2: vocode the predictions (vocoder.sh -> inference.py), then
+    # score pred_wav vs the ground-truth manifest (test_compare.py) —
+    # closing the reference's full test_dataset.sh loop (SURVEY.md §3.4)
+    import jax
+
+    from lip2speech_tpu.cli.vocode import run_vocoder
+    from lip2speech_tpu.eval.harness import evaluate_synthesis
+    from lip2speech_tpu.models.vocoder import MelCodeGenerator
+
+    cfg = preset("tiny")
+    gen = MelCodeGenerator(cfg.vocoder)
+    gparams = gen.init(
+        {"params": jax.random.PRNGKey(0)},
+        np.zeros((1, 8), np.int32), np.zeros((1, 16, 80), np.float32),
+        np.zeros((1, 256), np.float32), deterministic=True)["params"]
+    voc_out = tmp_path / "voc_out"
+    stats2 = run_vocoder(cfg, gparams, voc_root / "label/test.tsv",
+                         voc_root / "label/test.unt", voc_out)
+    assert stats2["n_utts"] == 4 and stats2["rtf"] > 0
+    wavs = list((voc_out / "pred_wav").rglob("*.wav"))
+    assert len(wavs) == 4
+
+    res = evaluate_synthesis(voc_out / "pred_wav",
+                             mini_dataset / "label/test.tsv")
+    # random vocoder weights: metrics exist and are finite, nothing more
+    assert res.n_utts >= 1
+    assert res.stoi is None or np.isfinite(res.stoi)
