@@ -101,12 +101,15 @@ def main(argv=None):
         lm_vars = load_lm(args.lm_checkpoint)
 
     ds = Stage1Dataset(args.tsv, root_override=args.root, train=False)
-    first = next(ds.batches(args.batch_size))
     if args.checkpoint:
         from lip2speech_tpu.train.checkpoint import load_pytree
 
         variables = load_pytree(args.checkpoint)
     else:
+        # random init needs a probe batch for shapes — only draw it here
+        first = next(ds.batches(args.batch_size), None)
+        if first is None:
+            raise SystemExit(f"empty manifest: {args.tsv}")
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.asarray(first["video"]),
                                jnp.asarray(first["frames_mask"]))

@@ -40,8 +40,13 @@ def evaluate_pair(pred_wav: np.ndarray, gt_wav: np.ndarray,
     out = {"stoi": M.stoi(gt, pred, fs), "estoi": M.estoi(gt, pred, fs)}
     try:
         out["pesq"] = M.pesq_score(gt, pred, fs)
-    except ValueError:
-        pass  # clip too short for P.862 (< 128 ms)
+        out["pesq_mode"] = "nb"  # P.862 narrowband MOS-LQO (see metrics.pesq_score)
+    except Exception:
+        # clip too short for P.862 (<128 ms) raises ValueError from the
+        # in-tree path; the optional external `pesq` package raises its own
+        # exception types (NoUtterancesError, BufferTooShortError) that are
+        # not ValueError subclasses — skip the metric either way.
+        pass
     return out
 
 

@@ -131,6 +131,11 @@ def estoi(clean, degraded, fs: int = 16_000) -> float:
 def pesq_score(clean, degraded, fs: int = 16_000, mode: str = "nb") -> float:
     """ITU-T P.862 PESQ MOS-LQO.
 
+    NOTE: the default mode is "nb" (P.862.1 narrowband MOS-LQO) because the
+    in-tree fallback implements narrowband P.862; scores are NOT comparable
+    with wideband ("wb") figures — the eval harness records the mode next to
+    the score (`pesq_mode`) so artifacts are never cross-compared silently.
+
     Uses the external `pesq` package when installed (bit-exact ITU code),
     otherwise the in-tree implementation (eval/pesq_p862.py) so the
     reference's STOI/ESTOI/PESQ metric triple (README.md:103-122) is

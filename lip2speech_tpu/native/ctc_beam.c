@@ -84,6 +84,9 @@ int64_t ctc_beam_search_f32(const float *log_probs, int64_t t_len, int64_t c,
                             int32_t *out, int64_t out_cap,
                             double *out_score) {
     if (beam_width < 1) beam_width = 1;
+    /* hash keys pack (node << 20) | label: labels must fit in 20 bits or
+     * (node,label) pairs alias and beam merging silently corrupts */
+    if (c >= (1 << 20)) return -1;
     int32_t k = beam_width > 8 ? beam_width : 8;   /* top-k classes/frame */
     if (k > c) k = (int32_t)c;
 

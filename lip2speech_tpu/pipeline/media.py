@@ -128,8 +128,13 @@ def probe(path: str | Path) -> dict:
     out = subprocess.run(
         ["ffprobe", "-v", "quiet", "-print_format", "json",
          "-show_streams", "-show_format", str(path)],
-        capture_output=True, check=True)
-    return json.loads(out.stdout or b"{}")
+        capture_output=True, check=False)
+    if out.returncode != 0:
+        return {}  # corrupt / non-media input: callers treat {} as invalid
+    try:
+        return json.loads(out.stdout or b"{}")
+    except ValueError:
+        return {}
 
 
 def get_fps(path: str | Path) -> float | None:

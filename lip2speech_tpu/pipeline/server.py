@@ -12,6 +12,14 @@ Endpoints mirror the reference API surface:
   POST /synthesise        — JSON {video_path, spk_emb_path?} -> wav (base64 or path)
   POST /vsg/synthesise    — long video: chunk <= 23.5 s, synthesize, concat
                             (vsg_service.py:37-215 semantics)
+  POST /dzupload?id=U     — Dropzone-style chunked upload (server.py:533-551):
+                            multipart form with dzchunkbyteoffset/dzchunkindex/
+                            dztotalchunkcount/dztotalfilesize + `file` part;
+                            chunks assemble under the inputs dir, final chunk
+                            verifies total size; /vsg/synthesise then accepts
+                            {"upload_id": U}. Oversize requests get 413
+                            (beyond-reference hardening: the reference caps
+                            nothing).
   GET  /stats             — usage DB counters
 
 stdlib http.server (no Flask in this image); requests are serialized through
@@ -38,6 +46,8 @@ from lip2speech_tpu.utils.audio_io import write_wav
 MAX_SEGMENT_S = 23.5     # vsg_service.py:21
 MAX_DURATION_S = 24.0    # config.py:30
 FPS = 25
+MAX_CHUNK_BYTES = 32 * 1024 * 1024      # per-/dzupload-request cap -> 413
+MAX_UPLOAD_BYTES = 1024 * 1024 * 1024   # assembled-file cap -> 413
 
 
 class ServerState:
@@ -46,10 +56,18 @@ class ServerState:
                  default_spk_emb: np.ndarray | None = None,
                  speaker_params: dict | None = None,
                  use_batcher: bool = False, max_batch: int = 8,
-                 max_wait_ms: float = 10.0, postprocess: bool = False):
+                 max_wait_ms: float = 10.0, postprocess: bool = False,
+                 inputs_dir: str | None = None):
         self.pipelines = pipelines
         self.active = active
         self.db = DB(db_path)
+        # upload staging area (reference config.INPUTS_PATH)
+        if inputs_dir is None:
+            import tempfile
+
+            inputs_dir = tempfile.mkdtemp(prefix="l2s_inputs_")
+        self.inputs_dir = Path(inputs_dir)
+        self.inputs_dir.mkdir(parents=True, exist_ok=True)
         self.lock = threading.Lock()      # global request serialization
         self.default_spk_emb = (default_spk_emb if default_spk_emb is not None
                                 else np.zeros(256, np.float32))
@@ -120,6 +138,45 @@ def synthesise_long_video(state: ServerState, frames: np.ndarray,
     return np.concatenate(wavs) if wavs else np.zeros(0, np.float32)
 
 
+def _parse_multipart(body: bytes, content_type: str):
+    """Minimal multipart/form-data parser (stdlib-only; the `cgi` module is
+    gone in modern Python). Returns (fields, files) where files maps part
+    name -> (filename, bytes). Sufficient for Dropzone's chunk POSTs."""
+    fields: dict[str, str] = {}
+    files: dict[str, tuple[str, bytes]] = {}
+    boundary = None
+    for piece in content_type.split(";"):
+        piece = piece.strip()
+        if piece.startswith("boundary="):
+            boundary = piece[len("boundary="):].strip('"')
+    if not boundary:
+        raise ValueError("multipart body without boundary")
+    delim = b"--" + boundary.encode()
+    for part in body.split(delim):
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        header_blob, _, payload = part.partition(b"\r\n\r\n")
+        disp = ""
+        for line in header_blob.split(b"\r\n"):
+            if line.lower().startswith(b"content-disposition"):
+                disp = line.decode(errors="replace")
+        name, filename = None, None
+        for attr in disp.split(";"):
+            attr = attr.strip()
+            if attr.startswith("name="):
+                name = attr[5:].strip('"')
+            elif attr.startswith("filename="):
+                filename = attr[9:].strip('"')
+        if name is None:
+            continue
+        if filename is not None:
+            files[name] = (filename, payload)
+        else:
+            fields[name] = payload.decode(errors="replace")
+    return fields, files
+
+
 class Handler(BaseHTTPRequestHandler):
     state: ServerState = None  # set by make_server
 
@@ -176,10 +233,73 @@ class Handler(BaseHTTPRequestHandler):
                 self._json(200, {"active": name})
             elif self.path in ("/synthesise", "/vsg/synthesise"):
                 self._handle_synthesise(long_video=self.path.startswith("/vsg"))
+            elif self.path.split("?")[0] == "/dzupload":
+                self._handle_dzupload()
             else:
                 self._json(404, {"error": "not found"})
         except Exception as e:  # reference: global handler -> 500 (server.py:462)
             self._json(500, {"error": str(e)})
+
+    def _handle_dzupload(self):
+        """Dropzone chunked upload (reference server.py:533-551): append each
+        chunk at dzchunkbyteoffset, verify total size on the last chunk.
+        Adds the size caps the reference lacks (413 on oversize)."""
+        from urllib.parse import parse_qs, urlparse
+
+        q = parse_qs(urlparse(self.path).query)
+        upload_id = (q.get("id") or [None])[0]
+        if not upload_id or "/" in upload_id or ".." in upload_id:
+            self._json(400, {"error": "missing or invalid upload id"})
+            return
+        length = int(self.headers.get("Content-Length", 0))
+        if length > MAX_CHUNK_BYTES:
+            self._json(413, {"error": f"chunk exceeds {MAX_CHUNK_BYTES} bytes"})
+            return
+        raw = self.rfile.read(length)
+        ctype = self.headers.get("Content-Type", "")
+        if "multipart/form-data" in ctype:
+            fields, files = _parse_multipart(raw, ctype)
+            if "file" not in files:
+                self._json(400, {"error": "no `file` part in upload"})
+                return
+            filename, payload = files["file"]
+        else:
+            # raw-binary convenience mode: metadata in the query string
+            fields = {k: v[0] for k, v in q.items()}
+            filename, payload = fields.get("filename", "upload.mp4"), raw
+        filename = Path(filename).name or "upload.mp4"
+        try:
+            offset = int(fields.get("dzchunkbyteoffset", 0))
+            index = int(fields.get("dzchunkindex", 0))
+            total_chunks = int(fields.get("dztotalchunkcount", 1))
+            total_size = int(fields.get("dztotalfilesize", len(payload)))
+        except ValueError:
+            self._json(400, {"error": "malformed dz* chunk fields"})
+            return
+        if total_size > MAX_UPLOAD_BYTES or offset + len(payload) > MAX_UPLOAD_BYTES:
+            self._json(413, {"error": f"upload exceeds {MAX_UPLOAD_BYTES} bytes"})
+            return
+        upload_path = self.state.inputs_dir / f"{upload_id}_{filename}"
+        with self.state.lock:  # concurrent chunks of one file: serialize writes
+            # NOT "ab": append mode ignores seek() on POSIX, so out-of-order
+            # chunks would corrupt the file (latent in reference server.py:539)
+            mode = "r+b" if upload_path.exists() else "wb"
+            with open(upload_path, mode) as f:
+                f.seek(offset)
+                f.write(payload)
+            if index + 1 == total_chunks:
+                if upload_path.stat().st_size != total_size:
+                    # reference returns 500 'File size mismatch' (server.py:548)
+                    self._json(500, {"error": "file size mismatch"})
+                    return
+        self._json(200, {"message": "chunk uploaded successfully",
+                         "upload_id": upload_id})
+
+    def _resolve_upload(self, upload_id: str) -> str:
+        cands = sorted(self.state.inputs_dir.glob(f"{upload_id}_*"))
+        if not cands:
+            raise FileNotFoundError(f"no uploaded file for id {upload_id!r}")
+        return str(cands[0])
 
     def _handle_synthesise(self, long_video: bool):
         from lip2speech_tpu.data.video_io import load_video_gray
@@ -187,7 +307,11 @@ class Handler(BaseHTTPRequestHandler):
         body = self._read_body()
         t0 = time.time()
         try:
-            frames = load_video_gray(body["video_path"])
+            # /vsg/synthesise accepts a previously /dzupload-ed id in place
+            # of a server-local path (reference server.py:553-560)
+            path = (self._resolve_upload(body["upload_id"])
+                    if "upload_id" in body else body["video_path"])
+            frames = load_video_gray(path)
         except Exception as e:  # bad client input, not a server fault
             self._json(400, {"error": f"cannot load video: {e}"})
             return
