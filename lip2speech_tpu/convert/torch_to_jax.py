@@ -257,6 +257,9 @@ def convert_avhubert_video_encoder(sd: SD, p: str, n_layers: int = 24) -> tuple[
         "fuse_layer_norm": _ln(sd, f"{p}layer_norm"),
         "post_extract_proj": _lin(sd, f"{p}post_extract_proj"),
     }
+    if f"{p}feature_extractor_audio.proj.weight" in sd:
+        # audio SubModel (hubert.py:351): Linear(26x4 logfbank stack -> D)
+        params["audio_proj"] = _lin(sd, f"{p}feature_extractor_audio.proj")
     stats = {"resnet": res_s}
 
     enc: dict = {}

@@ -1,15 +1,21 @@
-"""AV-HuBERT visual encoder — the frozen frontend of the best-scoring variant.
+"""AV-HuBERT audio-visual encoder — the frozen frontend of the best variant.
 
-Rebuild of the video-only `extract_finetune` path of reference
-avhubert/hubert.py:317-745 (modalities=["video"], so the audio branch
-contributes zeros into the concat fuse):
+Rebuild of the `extract_finetune` path of reference avhubert/hubert.py:317-745
+for all three modality combinations (video-only, audio-only, audio+video):
 
-  ResEncoder (prelu)                      hubert.py:350 / resnet.py:131-169
-  -> SubModel.proj Linear(512 -> D)       hubert.py:317-332
-  -> concat([zeros_audio, video], C)      hubert.py:713-716 (audio first!)
+  video: ResEncoder (prelu)               hubert.py:350 / resnet.py:131-169
+         -> SubModel.proj Linear(512->D)  hubert.py:317-332
+  audio: SubModel.proj Linear(F->D)       hubert.py:351 (resnet=None; F =
+         26 logfbank x 4-stack = 104, hubert_dataset.py:278-293 stacker)
+  absent modality contributes zeros       hubert.py:703-711
+  -> concat([audio, video], C)            hubert.py:713-716 (audio first!)
   -> LayerNorm(2D)                        hubert.py:718 (eps 1e-5, fairseq)
   -> post_extract_proj Linear(2D -> D)    hubert.py:727
   -> wav2vec2 TransformerEncoder          (conv-pos-emb k128 g16, pre/post-norm)
+
+Training-time modality dropout (hubert.py:611-617): ONE scalar draw per
+forward — with prob `modality_dropout` zero a whole modality: audio with
+prob `audio_dropout`, else video.
 
 The wav2vec2 transformer uses absolute conv positional embeddings and plain
 softmax attention — no relative positions.
@@ -137,8 +143,15 @@ class Wav2Vec2TransformerEncoder(nn.Module):
         return x
 
 
-class AVHubertVideoEncoder(nn.Module):
-    """(B, T, H, W, 1) video -> (B, T, dim) AV-HuBERT features (video-only)."""
+class AVHubertEncoder(nn.Module):
+    """AV-HuBERT encoder. video: (B, T, H, W, 1) or None; audio: (B, T, F)
+    stacked-logfbank features or None -> (B, T, dim).
+
+    `audio_feat_dim == 0` (the lip2speech serving default) builds a
+    video-only module with NO audio parameters — existing video checkpoints
+    load unchanged. With `audio_feat_dim > 0` the audio SubModel.proj exists
+    and either modality (or both) may be passed; an absent one contributes
+    zeros into the fuse, exactly hubert.py:703-711."""
 
     dim: int = 1024
     heads: int = 16
@@ -146,13 +159,42 @@ class AVHubertVideoEncoder(nn.Module):
     layers: int = 24
     dropout: float = 0.1
     layer_norm_first: bool = True
+    audio_feat_dim: int = 0          # 26 logfbank x 4 stack = 104 when audio on
+    modality_dropout: float = 0.0    # hubert.py:255 cfg.modality_dropout
+    audio_dropout: float = 0.0       # hubert.py:256 cfg.audio_dropout
 
     @nn.compact
-    def __call__(self, video, frames_mask=None, train: bool = False):
-        feats = ResNet3DFrontend(relu_type="prelu", name="resnet")(video, train)
-        feats = Linear(self.dim, name="video_proj")(feats)
-        # modality fuse: concat([audio=0, video], channel) -> LN -> proj
-        fused = jnp.concatenate([jnp.zeros_like(feats), feats], axis=-1)
+    def __call__(self, video=None, frames_mask=None, train: bool = False,
+                 audio=None):
+        if video is None and audio is None:
+            raise ValueError("need at least one modality")
+        if audio is not None and self.audio_feat_dim == 0:
+            raise ValueError("audio passed to a video-only encoder "
+                             "(set audio_feat_dim)")
+        feats_v = feats_a = None
+        if video is not None:
+            feats_v = ResNet3DFrontend(relu_type="prelu", name="resnet")(video, train)
+            feats_v = Linear(self.dim, name="video_proj")(feats_v)
+        if self.audio_feat_dim > 0:
+            # audio SubModel: Linear only (resnet=None, sub_encoder_layers=0)
+            audio_proj = Linear(self.dim, name="audio_proj")
+            if audio is not None:
+                feats_a = audio_proj(audio)
+        if feats_v is None:
+            feats_v = jnp.zeros_like(feats_a)
+        if feats_a is None:
+            feats_a = jnp.zeros_like(feats_v)
+        if train and self.modality_dropout > 0.0 and audio is not None \
+                and video is not None:
+            # ONE draw per forward (hubert.py:611: np.random.random() pair)
+            rng = self.make_rng("dropout")
+            r_mod, r_aud = jax.random.uniform(rng, (2,))
+            drop_audio = (r_mod < self.modality_dropout) & (r_aud < self.audio_dropout)
+            drop_video = (r_mod < self.modality_dropout) & ~(r_aud < self.audio_dropout)
+            feats_a = jnp.where(drop_audio, 0.0, feats_a)
+            feats_v = jnp.where(drop_video, 0.0, feats_v)
+        # modality fuse: concat([audio, video], channel) -> LN -> proj
+        fused = jnp.concatenate([feats_a, feats_v], axis=-1)
         fused = LayerNorm(2 * self.dim, eps=1e-5, name="fuse_layer_norm")(fused)
         x = Linear(self.dim, name="post_extract_proj")(fused)
         x = nn.Dropout(self.dropout, name="dropout_input")(x, deterministic=not train)
@@ -160,3 +202,7 @@ class AVHubertVideoEncoder(nn.Module):
             dim=self.dim, heads=self.heads, ffn_dim=self.ffn_dim, layers=self.layers,
             dropout=self.dropout, layer_norm_first=self.layer_norm_first,
             name="encoder")(x, frames_mask, train)
+
+
+# the lip2speech stage-1 frontend is the video-only configuration
+AVHubertVideoEncoder = AVHubertEncoder

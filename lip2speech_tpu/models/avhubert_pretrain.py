@@ -1,13 +1,15 @@
-"""AV-HuBERT masked-prediction pretraining (video-only modality).
+"""AV-HuBERT masked-prediction pretraining (audio-visual).
 
 Rebuild of the pretraining path of reference avhubert/hubert.py:591-674 +
-hubert_criterion.py:40-166 (the task that produces the published visual
-frontends):
+hubert_criterion.py:40-166 (the task that produces the published frontends):
 
   * input masking: masked video frames are replaced (zeros — the B==1 branch
     and 'same_seq' degenerate case; swap-from-other-sequence is a data aug we
-    expose via pre-swapped inputs)
-  * features -> LN -> proj -> transformer -> final_proj
+    expose via pre-swapped inputs); masked AUDIO frames are replaced by the
+    learned mask embedding (hubert.py:396 mask_emb, :625 `x[mask] = mask_emb`)
+  * both modalities -> SubModel features; training-time modality dropout
+    zeroes one whole modality per forward (hubert.py:611-617)
+  * concat fuse -> LN -> proj -> transformer -> final_proj
   * logits = cosine(proj_x, label_embeddings) / logit_temp   (sim_type
     'cosine', hubert.py:576-589)
   * loss = CE over masked positions (+ optional unmasked CE + feature penalty)
@@ -37,17 +39,46 @@ class AVHubertPretrainModel(nn.Module):
     logit_temp: float = 0.1
     dropout: float = 0.1
     layer_norm_first: bool = True
+    audio_feat_dim: int = 0          # >0 enables the audio modality (104)
+    modality_dropout: float = 0.0    # hubert.py:255
+    audio_dropout: float = 0.0       # hubert.py:256
 
     @nn.compact
-    def __call__(self, video, frames_mask, span_mask, train: bool = False):
-        """video: (B, T, H, W, 1) with masked frames already zeroed;
-        frames_mask: (B, T) True=valid; span_mask: (B, T) True=masked.
+    def __call__(self, video, frames_mask, span_mask, train: bool = False,
+                 audio=None):
+        """video: (B, T, H, W, 1) with masked frames already zeroed (or None
+        for audio-only); audio: (B, T, F) RAW stacked-logfbank features —
+        masked audio frames are replaced in here by the learned mask
+        embedding (hubert.py:396, :625); frames_mask: (B, T) True=valid;
+        span_mask: (B, T) True=masked.
 
         Returns dict(logits (B, T, V), span_mask, frames_mask, features_pen).
         """
-        feats = ResNet3DFrontend(relu_type="prelu", name="resnet")(video, train)
-        feats = Linear(self.dim, name="video_proj")(feats)
-        fused = jnp.concatenate([jnp.zeros_like(feats), feats], axis=-1)
+        feats_v = feats_a = None
+        if video is not None:
+            feats_v = ResNet3DFrontend(relu_type="prelu", name="resnet")(video, train)
+            feats_v = Linear(self.dim, name="video_proj")(feats_v)
+        if self.audio_feat_dim > 0:
+            # learned audio mask embedding (hubert.py:396 uniform init)
+            mask_emb = self.param("mask_emb", nn.initializers.uniform(1.0),
+                                  (self.audio_feat_dim,))
+            audio_proj = Linear(self.dim, name="audio_proj")
+            if audio is not None:
+                audio = jnp.where(span_mask[:, :, None], mask_emb, audio)
+                feats_a = audio_proj(audio)
+        if feats_v is None:
+            feats_v = jnp.zeros_like(feats_a)
+        if feats_a is None:
+            feats_a = jnp.zeros_like(feats_v)
+        if train and self.modality_dropout > 0.0 and audio is not None \
+                and video is not None:
+            rng = self.make_rng("dropout")
+            r_mod, r_aud = jax.random.uniform(rng, (2,))
+            drop_audio = (r_mod < self.modality_dropout) & (r_aud < self.audio_dropout)
+            drop_video = (r_mod < self.modality_dropout) & ~(r_aud < self.audio_dropout)
+            feats_a = jnp.where(drop_audio, 0.0, feats_a)
+            feats_v = jnp.where(drop_video, 0.0, feats_v)
+        fused = jnp.concatenate([feats_a, feats_v], axis=-1)
         features_pen = jnp.mean(jnp.square(fused))
         fused = LayerNorm(2 * self.dim, eps=1e-5, name="fuse_layer_norm")(fused)
         x = Linear(self.dim, name="post_extract_proj")(fused)
