@@ -1,13 +1,13 @@
 """Video IO gateway.
 
 The training/serving videos are pre-cropped 96x96 grayscale mouth-ROI mp4s at
-25 fps. mp4 decode requires an external backend (ffmpeg via imageio-ffmpeg, or
-cv2); this image has neither, so we support three sources in priority order:
+25 fps. mp4 decode requires an external backend; sources in priority order:
 
   1. a `.npy` sidecar next to the mp4 (same stem): (T, H, W) uint8 — the
      native format for this framework's own dataset builder
-  2. imageio (if an ffmpeg backend is installed in the deployment env)
-  3. raw `.gray` files: little-endian uint8 with a 12-byte header T,H,W int32
+  2. cv2.VideoCapture (the reference's own decode path, utils_aug.py:16-35)
+  3. imageio (if an ffmpeg backend is installed in the deployment env)
+  4. raw `.gray` files: little-endian uint8 with a 12-byte header T,H,W int32
 
 Grayscale conversion uses the ITU-R BT.601 luma weights — the same as the
 reference's cv2.cvtColor(..., COLOR_BGR2GRAY) (utils_aug.py:16-35).
@@ -26,6 +26,26 @@ def rgb_to_gray(frames: np.ndarray) -> np.ndarray:
     """(T, H, W, 3) uint8 RGB -> (T, H, W) uint8 via BT.601 luma (cv2 rounding)."""
     gray = frames.astype(np.float32) @ LUMA
     return np.clip(np.round(gray), 0, 255).astype(np.uint8)
+
+
+def _try_cv2(path: Path) -> np.ndarray | None:
+    try:
+        import cv2
+    except ImportError:
+        return None
+    if not hasattr(cv2, "VideoCapture"):  # bare namespace package hazard
+        return None
+    cap = cv2.VideoCapture(str(path))
+    if not cap.isOpened():
+        return None
+    frames = []
+    ok, frame = cap.read()
+    while ok:
+        # cv2 yields BGR; reference uses cv2.cvtColor(..., COLOR_BGR2GRAY)
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY))
+        ok, frame = cap.read()
+    cap.release()
+    return np.stack(frames) if frames else None
 
 
 def _try_imageio(path: Path) -> np.ndarray | None:
@@ -62,7 +82,9 @@ def load_video_gray(path: str | Path) -> np.ndarray:
         t, h, w = np.frombuffer(raw[:12], dtype="<i4")
         return np.frombuffer(raw[12:], dtype=np.uint8).reshape(t, h, w).copy()
     if path.exists():
-        arr = _try_imageio(path)
+        arr = _try_cv2(path)
+        if arr is None:
+            arr = _try_imageio(path)
         if arr is not None:
             return arr.astype(np.uint8)
     raise FileNotFoundError(

@@ -1,0 +1,239 @@
+"""Quality loop: prove the full stack LEARNS on the bundled LRS3 sample.
+
+Trains a reduced-size stage-1 (conformer multi_target) to overfit the 5 real
+test utterances of /root/reference/datasets/lrs3 (real mouth videos, unit
+labels, mels, speaker embeddings), then stage-2 (multi-input HiFi-GAN) on the
+same audio; snapshots at init/mid/final are pushed through the full
+Lip2SpeechPipeline (greedy unit decode + predicted mel -> vocoder) and scored
+with STOI/ESTOI/PESQ against the ground-truth audio plus unit accuracy and
+mel L1. Artifacts: <out>/quality_loop.json (+ curves) consumed by QUALITY.md.
+
+Training semantics match the reference recipes at reduced scale:
+  stage-1: conf/lrs3/multi_target.yaml:55-70 (Adam 0.9/0.98, LS-CE + 10x mel
+           L1, cosine LR w/ warmup) — reduced dims/steps for the 5-clip set
+  stage-2: multi_input_vocoder/train.py:127-245 (two Adam 0.8/0.99 opts,
+           45x mel L1 + FM + LSGAN adv, random 8960-sample segments)
+
+Run to completion in the background (TPU relay rule: never timeout-kill):
+  python scripts/quality_loop.py --out artifacts/quality &
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pickle
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
+ROOT = "/root/reference/datasets/lrs3"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="artifacts/quality")
+    ap.add_argument("--platform", default=None, help="cpu to force CPU")
+    ap.add_argument("--steps1", type=int, default=400)
+    ap.add_argument("--steps2", type=int, default=800)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--lr1", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-frames", type=int, default=600,
+                    help="truncate clips (CPU smoke tests use small values)")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="skip training; evaluate snapshots saved in --out")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax-test-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+
+    from lip2speech_tpu.core.config import (ConformerConfig, preset,
+                                            with_overrides)
+    from lip2speech_tpu.data.stage1 import Stage1Dataset
+    from lip2speech_tpu.data.stage2 import Stage2Dataset
+    from lip2speech_tpu.eval.harness import evaluate_pair
+    from lip2speech_tpu.pipeline.synthesise import Lip2SpeechPipeline
+    from lip2speech_tpu.train import stage1, stage2
+    from lip2speech_tpu.utils.audio_io import peak_normalize, read_wav
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    print(f"platform: {jax.devices()[0].platform}", flush=True)
+
+    cfg = preset("multi_target")
+    cfg = with_overrides(cfg, {
+        "model.conformer": ConformerConfig(
+            dim=args.dim, ffn_dim=2 * args.dim, heads=4, layers=args.layers,
+            input_dim=512),
+        "stage1.update_freq": 1,
+        "stage1.batch_size": 5,
+        "stage1.lr": args.lr1,
+        "stage1.warmup_updates": max(args.steps1 // 20, 5),
+        "stage1.max_updates": args.steps1,
+    })
+
+    # ---- data: the 5 real test utterances, deterministic transforms ----
+    ds = Stage1Dataset(f"{ROOT}/label/test.tsv", f"{ROOT}/label/test.unt",
+                       root_override=ROOT, train=False,
+                       max_frames=args.max_frames)
+    batch = ds.collate([ds.load(i) for i in range(len(ds))])
+    ids = batch["ids"]
+    print(f"stage-1 batch: video {batch['video'].shape}, ids {ids}", flush=True)
+
+    # ---- stage-1 overfit ----
+    model, tx, state = stage1.create_train_state(
+        cfg, jax.random.PRNGKey(args.seed), batch)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    step_fn = stage1.make_train_step(model, tx, cfg)
+    eval_step = stage1.make_eval_step(model, cfg)
+    stacked = stage1.stack_accum([batch], pad_id=cfg.model.units.pad,
+                                 batch_size=5)
+    dev_batch = {k: v for k, v in batch.items() if k != "ids"}
+
+    def snapshot_s1(st, step):
+        snap = jax.tree_util.tree_map(
+            np.asarray, {"params": st.params, "batch_stats": st.batch_stats})
+        (out_dir / f"snap_s1_{step}.pkl").write_bytes(pickle.dumps(snap))
+        return snap
+
+    def acc_of(st):
+        c, t, nll = eval_step(st.params, st.batch_stats, dev_batch)
+        return float(c) / max(float(t), 1.0), float(nll) / max(float(t), 1.0)
+
+    rng = jax.random.PRNGKey(args.seed + 1)
+    mid1 = args.steps1 // 2
+    acc_final = nll_final = None
+    if not args.eval_only:
+        snaps1 = {0: snapshot_s1(state, 0)}
+        curve1 = []
+        t0 = time.time()
+        for step in range(1, args.steps1 + 1):
+            state, logs = step_fn(state, stacked, jax.random.fold_in(rng, step))
+            loss = float(logs["loss"])
+            curve1.append(loss)
+            if step in (1, mid1, args.steps1) or step % 50 == 0:
+                acc, nll = acc_of(state)
+                print(f"s1 step {step}: loss {loss:.3f} acc {acc:.4f} "
+                      f"nll {nll:.3f} ({time.time() - t0:.0f}s)", flush=True)
+            if step == mid1:
+                snaps1[mid1] = snapshot_s1(state, mid1)
+        snaps1[args.steps1] = snapshot_s1(state, args.steps1)
+        acc_final, nll_final = acc_of(state)
+        (out_dir / "s1_curve.json").write_text(json.dumps(curve1))
+        print(f"stage-1 done: {n_params / 1e6:.2f}M params, "
+              f"final acc {acc_final:.4f}", flush=True)
+    else:
+        snaps1 = {int(p.stem.split("_")[-1]): pickle.loads(p.read_bytes())
+                  for p in sorted(out_dir.glob("snap_s1_*.pkl"))}
+        print(f"eval-only: loaded s1 snapshots {sorted(snaps1)}", flush=True)
+
+    # ---- stage-2 GAN on the same 5 clips ----
+    ds2 = Stage2Dataset(f"{ROOT}/label/test.tsv", f"{ROOT}/label/test.unt",
+                        cfg=cfg.vocoder, root_override=ROOT, train=True,
+                        seed=args.seed)
+    b2 = ds2.collate(list(range(len(ds2))))
+    b2 = {k: v for k, v in b2.items() if k != "ids"}
+    models2, txs2, gstate = stage2.create_gan_state(
+        cfg, jax.random.PRNGKey(args.seed + 2), b2)
+    gan_step = stage2.make_gan_step(models2, txs2, cfg)
+
+    def snapshot_g(st, step):
+        snap = jax.tree_util.tree_map(np.asarray, st.gen_params)
+        (out_dir / f"snap_g_{step}.pkl").write_bytes(pickle.dumps(snap))
+        return snap
+
+    mid2 = args.steps2 // 2
+    if not args.eval_only:
+        snaps2 = {0: snapshot_g(gstate, 0)}
+        curve2 = []
+        t0 = time.time()
+        for step in range(1, args.steps2 + 1):
+            seg = ds2.collate(list(range(len(ds2))))   # fresh random segments
+            seg = {k: jnp.asarray(v) for k, v in seg.items() if k != "ids"}
+            gstate, logs = gan_step(gstate, seg,
+                                    jax.random.fold_in(rng, 10_000 + step))
+            curve2.append({k: float(v) for k, v in logs.items()})
+            if step in (1, mid2, args.steps2) or step % 100 == 0:
+                print(f"s2 step {step}: mel {curve2[-1]['loss_mel']:.3f} "
+                      f"gen {curve2[-1]['loss_gen']:.2f} "
+                      f"disc {curve2[-1]['loss_disc']:.3f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+            if step == mid2:
+                snaps2[mid2] = snapshot_g(gstate, mid2)
+        snaps2[args.steps2] = snapshot_g(gstate, args.steps2)
+        (out_dir / "s2_curve.json").write_text(json.dumps(curve2))
+        print("stage-2 done", flush=True)
+    else:
+        snaps2 = {int(p.stem.split("_")[-1]): pickle.loads(p.read_bytes())
+                  for p in sorted(out_dir.glob("snap_g_*.pkl"))}
+        print(f"eval-only: loaded g snapshots {sorted(snaps2)}", flush=True)
+
+    # ---- e2e eval at init / mid / final ----
+    gt = {}
+    for utt in ds.utts:
+        wav, sr = read_wav(utt.audio_path)
+        if wav.ndim > 1:
+            wav = wav.mean(axis=1)
+        gt[utt.uid] = peak_normalize(wav.astype(np.float32), 0.95)
+
+    points = list(zip(sorted(snaps1), sorted(snaps2)))
+    report = {"ids": ids, "n_params_stage1": int(n_params),
+              "config": {"dim": args.dim, "layers": args.layers,
+                         "steps1": args.steps1, "steps2": args.steps2,
+                         "lr1": args.lr1},
+              "final": {"unit_accuracy": acc_final, "unit_nll": nll_final},
+              "snapshots": []}
+    # one pipeline instance: params are jit ARGUMENTS, so swapping the attrs
+    # between snapshots reuses the single compiled e2e program
+    pipe = Lip2SpeechPipeline(cfg, snaps1[0], snaps2[0])
+    for s1_step, s2_step in points:
+        pipe.stage1_variables = snaps1[s1_step]
+        pipe.vocoder_params = snaps2[s2_step]
+        results = pipe.synthesise_batch(batch["video"], batch["frames_mask"],
+                                        batch["spk_emb"])
+        # unit accuracy / nll of this stage-1 snapshot
+        sv = snaps1[s1_step]
+        c, t, nll = eval_step(sv["params"], sv["batch_stats"], dev_batch)
+        metrics = {"stoi": [], "estoi": [], "pesq": [], "mel_l1": []}
+        for i, res in enumerate(results):
+            uid = ids[i]
+            m = evaluate_pair(res.wav, gt[uid])
+            metrics["stoi"].append(m["stoi"])
+            metrics["estoi"].append(m["estoi"])
+            if "pesq" in m:
+                metrics["pesq"].append(m["pesq"])
+            n_mel = res.mel.shape[0]
+            gt_mel = np.asarray(batch["mel"][i][:n_mel])
+            metrics["mel_l1"].append(float(np.abs(res.mel - gt_mel).mean()))
+            wav_path = out_dir / f"wav_s1{s1_step}_s2{s2_step}_{i}.npy"
+            np.save(wav_path, res.wav)
+        snap = {"s1_step": s1_step, "s2_step": s2_step,
+                "unit_accuracy": float(c) / max(float(t), 1.0),
+                "unit_nll": float(nll) / max(float(t), 1.0),
+                **{k: float(np.mean(v)) if v else None
+                   for k, v in metrics.items()}}
+        report["snapshots"].append(snap)
+        print(json.dumps(snap), flush=True)
+
+    if acc_final is None and report["snapshots"]:
+        report["final"] = {
+            "unit_accuracy": report["snapshots"][-1]["unit_accuracy"],
+            "unit_nll": report["snapshots"][-1]["unit_nll"]}
+    (out_dir / "quality_loop.json").write_text(json.dumps(report, indent=2))
+    print("wrote", out_dir / "quality_loop.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
