@@ -12,10 +12,18 @@ Providers:
   DlibLandmarks        — wraps dlib when installed, with the reference's
     every-nth-frame + interpolation policy
   HeuristicLandmarks   — in-image-runnable (no dlib): local-variance face
-    box + canonical mean-shape placement + gradient mouth refinement. The
-    crop geometry consumes only the stable points and the mouth-region
-    center, so a box-aligned mean shape reproduces the reference's 96x96
-    mouth ROI for roughly frontal faces.
+    box (connected components + centrality prior) anchored by the clip's
+    MOTION map (talking mouths move; background clutter doesn't), with
+    temporal EMA box smoothing + jump/scale rejection, canonical mean-shape
+    placement and gradient mouth refinement. The crop geometry consumes only
+    the stable points and the mouth-region center, so a box-aligned mean
+    shape reproduces the reference's 96x96 mouth ROI for roughly frontal
+    faces. Accuracy is quantified on a synthetic-hard benchmark
+    (tests/landmark_bench.py; table in QUALITY.md): mean box IoU ~0.86,
+    mouth-crop IoU ~0.83, center error 3-5% of face width. Honest failure
+    modes: dense textured clutter adjacent to a still face (box inflates
+    toward clutter), faces occupying <15% of the frame, and profile/rotated
+    faces (the mean shape assumes roughly frontal pose).
 """
 
 from __future__ import annotations
@@ -100,45 +108,155 @@ class DlibLandmarks:
         return out
 
 
-def detect_face_box(gray: np.ndarray, min_rel_size: float = 0.15):
+def box_iou(a, b) -> float:
+    """IoU of two (x0, y0, x1, y1) boxes."""
+    if a is None or b is None:
+        return 0.0
+    ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])
+    ix1, iy1 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(0, ix1 - ix0) * max(0, iy1 - iy0)
+    area_a = (a[2] - a[0]) * (a[3] - a[1])
+    area_b = (b[2] - b[0]) * (b[3] - b[1])
+    union = area_a + area_b - inter
+    return inter / union if union > 0 else 0.0
+
+
+def detect_face_box(gray: np.ndarray, min_rel_size: float = 0.15,
+                    prior_box=None, motion: np.ndarray | None = None):
     """Face bounding box from a local-variance saliency map.
 
     Faces are the high-texture blob in a talking-head frame (the serving
     envelope: <= 480x360 close-ups, reference config.py:20-30). Local std is
-    computed with box filters, thresholded, and the box taken from weighted
-    coordinate quantiles — robust to plain/gradient backgrounds, no dlib.
+    computed with box filters and thresholded; CONNECTED COMPONENTS of the
+    thresholded map are scored by area x centrality so background clutter and
+    corner distractors form separate, lower-scoring components instead of
+    inflating one global box. With `prior_box`, detection searches only a
+    PRE_CROP_SCALE (1.3x) window around it — the reference's own re-detect
+    policy (face_landmarks_server.py:211-240, config.py:65) — and centrality
+    is measured from the prior's center.
+
+    `motion` (full-frame, same shape as gray): a temporal-difference energy
+    map of the clip. In a talking-head video the MOUTH moves while background
+    clutter is static, so the strongest motion hotspot anchors the face:
+    components are chosen by distance to the anchor and the box extent is
+    restricted to a face-radius neighborhood of it, which cuts static clutter
+    that texture saliency alone cannot separate. Ignored when the motion
+    signal is at the noise floor (still scenes degrade to the static path).
     Returns (x0, y0, x1, y1) or None.
     """
-    from scipy.ndimage import uniform_filter
+    from scipy.ndimage import label, uniform_filter
 
     g = gray.astype(np.float64)
     if g.ndim == 3:
         g = g.mean(axis=-1)
+    full_h, full_w = g.shape
+    ox = oy = 0
+    if prior_box is not None:
+        px0, py0, px1, py1 = prior_box
+        pw, ph = px1 - px0, py1 - py0
+        mx = 0.5 * (PRE_CROP_SCALE - 1.0)
+        ox = max(0, int(px0 - mx * pw))
+        oy = max(0, int(py0 - mx * ph))
+        x_hi = min(full_w, int(px1 + mx * pw))
+        y_hi = min(full_h, int(py1 + mx * ph))
+        if x_hi - ox < 8 or y_hi - oy < 8:
+            ox = oy = 0
+        else:
+            g = g[oy:y_hi, ox:x_hi]
     h, w = g.shape
-    k = max(5, min(h, w) // 10)
+    # k from the FULL frame scale even when searching a prior window: a
+    # window-relative k weakens edge saliency, shrinking the box a little on
+    # every tracked re-detect (compounding collapse)
+    k = max(5, min(full_h, full_w) // 10)
     mean = uniform_filter(g, k)
     var = np.clip(uniform_filter(g * g, k) - mean * mean, 0.0, None)
     sal = np.sqrt(var)
     peak = sal.max()
     if peak <= 1e-6:
         return None
-    wgt = np.where(sal > 0.3 * peak, sal, 0.0)
-    total = wgt.sum()
-    if total <= 0:
+    mask = sal > 0.3 * peak
+    # connectivity mask: bridge face-internal gaps (smooth forehead/cheeks
+    # between the high-variance features/edges) so one face = one component;
+    # clutter farther than ~k pixels stays separate. The DILATED mask defines
+    # connectivity only — box extent below uses the tight original mask.
+    bridged = uniform_filter(mask.astype(np.float64), k) > 0.08
+    labels, n = label(bridged)
+    if n == 0:
         return None
-
-    def _span(axis):
-        p = wgt.sum(axis=axis)
-        c = np.cumsum(p) / p.sum()
-        lo = int(np.searchsorted(c, 0.02))
-        hi = int(np.searchsorted(c, 0.98))
-        return lo, hi + 1
-
-    x0, x1 = _span(0)
-    y0, y1 = _span(1)
+    # face anchor: the motion hotspot (talking mouth) when the clip has
+    # real motion, else the prior box center when tracking, else the frame
+    # center
+    anchor = None
+    mouth_w = None
+    motion_box = None       # face-wide motion: the face outlines itself
+    if motion is not None:
+        mo = motion[oy:oy + h, ox:ox + w]
+        noise = float(np.median(motion))
+        if mo.size and mo.max() > max(4.0 * noise, 1.0):
+            thr = max(0.15 * float(mo.max()), 2.5 * noise)
+            mys, mxs = np.nonzero(mo > thr)
+            if len(mxs) >= 8:
+                bx0, bx1 = np.quantile(mxs, 0.02), np.quantile(mxs, 0.98)
+                by0, by1 = np.quantile(mys, 0.02), np.quantile(mys, 0.98)
+                if (bx1 - bx0) < 0.3 * w and (by1 - by0) < 0.3 * h:
+                    # mouth-sized motion blob: it IS the talking mouth
+                    anchor = (0.5 * (bx0 + bx1), 0.5 * (by0 + by1))
+                    mouth_w = float(np.clip(bx1 - bx0, 12, 120))
+                else:
+                    # whole face moves: its motion outline bounds the face
+                    motion_box = (bx0, by0, bx1, by1)
+                    anchor = (0.5 * (bx0 + bx1), 0.5 * (by0 + by1))
+    if anchor is not None:
+        cx0, cy0 = anchor
+    elif prior_box is not None:
+        cx0 = 0.5 * (prior_box[0] + prior_box[2]) - ox
+        cy0 = 0.5 * (prior_box[1] + prior_box[3]) - oy
+    else:
+        cx0, cy0 = 0.5 * w, 0.5 * h
+    sigma = 0.5 * max(h, w)
+    best, best_score = None, -1.0
+    for comp in range(1, n + 1):
+        sel = (labels == comp) & mask
+        ys, xs = np.nonzero(sel)
+        area = len(xs)
+        if area < (min_rel_size * min(h, w)) ** 2 * 0.25:
+            continue
+        cx, cy = xs.mean(), ys.mean()
+        centrality = np.exp(-((cx - cx0) ** 2 + (cy - cy0) ** 2)
+                            / (2 * sigma * sigma))
+        score = area * centrality
+        if score > best_score:
+            best_score, best = score, comp
+    if best is None:
+        return None
+    # box = spatial extent of the winning component's (tight) mask pixels,
+    # robust-trimmed. Saliency-WEIGHTED quantiles collapse toward the
+    # highest-contrast features (eyes/mouth) and under-cover low-contrast
+    # face edges; unweighted coordinate quantiles track the true extent.
+    ys, xs = np.nonzero((labels == best) & mask)
+    if mouth_w is not None:
+        # clutter merged into the face component by the bridging step sits
+        # far from the mouth. Keep pixels inside the face window implied by
+        # 68-landmark geometry around the mouth anchor: face half-width
+        # ~1.3x mouth width, face top ~2.6x above the mouth, chin ~0.7x
+        # below (mouth_crop.default_mean_face proportions), padded ~20%.
+        keep = (np.abs(xs - cx0) <= 1.6 * mouth_w) & \
+               (ys - cy0 >= -3.1 * mouth_w) & (ys - cy0 <= 1.1 * mouth_w)
+        if keep.sum() >= 0.05 * len(xs):
+            xs, ys = xs[keep], ys[keep]
+    elif motion_box is not None:
+        # whole-face motion: keep pixels inside the padded motion outline
+        mbx0, mby0, mbx1, mby1 = motion_box
+        px, py = 0.08 * (mbx1 - mbx0), 0.08 * (mby1 - mby0)
+        keep = (xs >= mbx0 - px) & (xs <= mbx1 + px) & \
+               (ys >= mby0 - py) & (ys <= mby1 + py)
+        if keep.sum() >= 0.05 * len(xs):
+            xs, ys = xs[keep], ys[keep]
+    x0, x1 = int(np.quantile(xs, 0.01)), int(np.quantile(xs, 0.99)) + 1
+    y0, y1 = int(np.quantile(ys, 0.01)), int(np.quantile(ys, 0.99)) + 1
     if (x1 - x0) < min_rel_size * w or (y1 - y0) < min_rel_size * h:
         return None
-    return (x0, y0, x1, y1)
+    return (x0 + ox, y0 + oy, x1 + ox, y1 + oy)
 
 
 class HeuristicLandmarks:
@@ -146,7 +264,14 @@ class HeuristicLandmarks:
 
     Per the reference's detection policy (face_landmarks_server.py:55-347 +
     config.py:64): detect on every `nth_frame`, reuse the previous box in
-    between. Landmarks are the canonical 68-pt mean shape
+    between, and re-detect inside a 1.3x window around the previous box
+    (config.py:65). Additional temporal hardening beyond the reference:
+      * EMA box smoothing (smooth=0.5) suppresses per-frame jitter
+      * jump rejection: a fresh detection with IoU < reject_iou vs the
+        smoothed track is discarded (background clutter / momentary
+        mis-detections); `max_rejects` consecutive rejections force a
+        full-frame re-detect so scene cuts still re-acquire
+    Landmarks are the canonical 68-pt mean shape
     (mouth_crop.default_mean_face) scaled into the detected box, with the
     mouth points (48-67) re-centered on the strongest horizontal-gradient
     band in the lower half of the box (lips are the highest-contrast
@@ -154,9 +279,13 @@ class HeuristicLandmarks:
     """
 
     def __init__(self, nth_frame: int = DETECTION_NTH_FRAME,
-                 refine_mouth: bool = True):
+                 refine_mouth: bool = True, smooth: float = 0.5,
+                 reject_iou: float = 0.15, max_rejects: int = 5):
         self.nth_frame = nth_frame
         self.refine_mouth = refine_mouth
+        self.smooth = smooth
+        self.reject_iou = reject_iou
+        self.max_rejects = max_rejects
 
     def _place_shape(self, box, frame: np.ndarray) -> np.ndarray:
         from lip2speech_tpu.pipeline.mouth_crop import default_mean_face
@@ -196,12 +325,53 @@ class HeuristicLandmarks:
                     if col_e.sum() > 0 else 0.5 * (rx1 - rx0))
         return np.array([mx, my], np.float64)
 
+    @staticmethod
+    def _motion_map(frames: np.ndarray, max_pairs: int = 20):
+        """Temporal-difference energy of the clip (talking mouths move;
+        static clutter doesn't). None for single-frame input."""
+        if len(frames) < 2:
+            return None
+        from scipy.ndimage import uniform_filter
+
+        g = frames.astype(np.float64)
+        if g.ndim == 4:
+            g = g.mean(axis=-1)
+        step = max(1, (len(g) - 1) // max_pairs)
+        d = np.abs(np.diff(g[::step], axis=0)).mean(axis=0)
+        k = max(3, min(d.shape) // 30)
+        return uniform_filter(d, k)
+
     def __call__(self, frames: np.ndarray) -> list[np.ndarray | None]:
         out: list[np.ndarray | None] = []
-        box = None
+        box = None          # smoothed track
+        rejects = 0
+        motion = self._motion_map(np.asarray(frames))
         for i, frame in enumerate(frames):
             if i % self.nth_frame == 0 or box is None:
-                box = detect_face_box(frame) or box
+                # track locally around the current box; full-frame when lost
+                # or after too many rejected jumps (scene cut)
+                prior = None if (box is None or rejects >= self.max_rejects) \
+                    else box
+                det = detect_face_box(frame, prior_box=prior, motion=motion)
+                if det is not None:
+                    plausible = True
+                    if box is not None and rejects < self.max_rejects:
+                        # faces don't change scale 2x between detections:
+                        # reject implausible shrink/grow as low-confidence
+                        a_det = (det[2] - det[0]) * (det[3] - det[1])
+                        a_trk = (box[2] - box[0]) * (box[3] - box[1])
+                        plausible = 0.5 * a_trk <= a_det <= 2.0 * a_trk
+                    if not plausible:
+                        rejects += 1
+                    elif box is None or box_iou(det, box) >= self.reject_iou \
+                            or rejects >= self.max_rejects:
+                        a = self.smooth if box is not None else 1.0
+                        box = tuple(
+                            int(round(a * d + (1 - a) * b))
+                            for d, b in zip(det, box or det))
+                        rejects = 0
+                    else:
+                        rejects += 1
             out.append(None if box is None else self._place_shape(box, frame))
         return out
 

@@ -1,0 +1,149 @@
+"""Synthetic-but-hard landmark benchmark (VERDICT r2 next #5).
+
+Renders face-like talking-head videos with known ground truth (face box +
+mouth center) across scenarios that stress the dlib-free HeuristicLandmarks:
+off-center faces, scale changes, textured background clutter, a static
+corner distractor, and motion jitter. Scoring: per-frame detected-box IoU
+vs the GT face box, and "crop IoU" — IoU of equal-size mouth-crop squares
+centered on predicted vs true mouth center (side = 0.75x face width, the
+96x96-ROI-at-face-scale analogue), which is what the 96x96 mouth ROI quality
+actually depends on.
+
+Shared by tests/test_landmark_bench.py (thresholds) and
+scripts/landmark_report.py (the committed table in QUALITY.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+H, W = 240, 320
+
+
+def render_video(t=20, seed=0, cx=160.0, cy=120.0, rx=55.0, ry=72.0,
+                 background="plain", jitter=0.0, scale_drift=0.0,
+                 distractor=False):
+    """Returns (frames uint8 (t, H, W), gt_boxes list, mouth_centers list)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+
+    if background == "plain":
+        bg = np.full((H, W), 120.0)
+    elif background == "gradient":
+        bg = 80.0 + 90.0 * xx / W
+    elif background == "textured":
+        # high-local-variance clutter: the adversary for variance saliency
+        bg = np.full((H, W), 120.0)
+        for _ in range(14):
+            px, py = rng.integers(0, W - 40), rng.integers(0, H - 30)
+            pw, ph = rng.integers(18, 42), rng.integers(14, 32)
+            bg[py:py + ph, px:px + pw] = rng.uniform(40, 210, (ph, pw))
+    else:
+        raise ValueError(background)
+
+    frames, boxes, mouths = [], [], []
+    fx, fy, s = cx, cy, 1.0
+    for i in range(t):
+        if jitter:
+            fx += rng.normal(0, jitter)
+            fy += rng.normal(0, jitter)
+        if scale_drift:
+            s = float(np.clip(s + rng.normal(0, scale_drift), 0.75, 1.25))
+        _rx, _ry = rx * s, ry * s
+        img = bg.copy()
+        if distractor:
+            # static textured corner blob, face-sized
+            img[8:78, 8:78] = 120 + 50 * np.sin(xx[8:78, 8:78] / 3.0) * \
+                np.cos(yy[8:78, 8:78] / 4.0)
+        head = ((xx - fx) / _rx) ** 2 + ((yy - fy) / _ry) ** 2 <= 1.0
+        # shaded skin (radial falloff = face-internal texture)
+        r2 = ((xx - fx) / _rx) ** 2 + ((yy - fy) / _ry) ** 2
+        img[head] = (195.0 - 35.0 * r2[head])
+        for ex in (fx - 0.42 * _rx, fx + 0.42 * _rx):       # eyes + brows
+            eye = ((xx - ex) / (0.16 * _rx)) ** 2 + \
+                  ((yy - (fy - 0.28 * _ry)) / (0.08 * _ry)) ** 2 <= 1.0
+            img[eye] = 60.0
+            brow = (np.abs(xx - ex) < 0.2 * _rx) & \
+                   (np.abs(yy - (fy - 0.42 * _ry)) < 0.035 * _ry)
+            img[brow] = 85.0
+        nose = (np.abs(xx - fx) < 0.05 * _rx) & \
+               (yy > fy - 0.15 * _ry) & (yy < fy + 0.18 * _ry)
+        img[nose] = 150.0
+        mouth_y = fy + 0.48 * _ry
+        open_px = (0.05 + 0.035 * np.sin(2 * np.pi * i / max(t, 1))) * _ry
+        mouth = (np.abs(xx - fx) < 0.38 * _rx) & \
+                (np.abs(yy - mouth_y) < open_px)
+        img[mouth] = 40.0
+        img += rng.normal(0, 2.0, (H, W))
+        frames.append(np.clip(img, 0, 255))
+        boxes.append((fx - _rx, fy - _ry, fx + _rx, fy + _ry))
+        mouths.append((fx, mouth_y))
+    return np.stack(frames).astype(np.uint8), boxes, mouths
+
+
+SCENARIOS = {
+    "centered_plain": dict(),
+    "offcenter_small": dict(cx=95.0, cy=85.0, rx=38.0, ry=50.0),
+    "gradient_bg": dict(background="gradient"),
+    "textured_clutter": dict(background="textured"),
+    "corner_distractor": dict(distractor=True),
+    "motion_jitter": dict(jitter=2.5, scale_drift=0.02),
+    "clutter_and_motion": dict(background="textured", jitter=2.0),
+}
+
+
+def _square_iou(c_pred, c_true, side_pred, side_true) -> float:
+    """IoU of mouth-crop squares. The predicted square is sized from the
+    PREDICTED face width (crop size follows the detected scale in
+    mouth_crop), so scale errors count against the metric."""
+    from lip2speech_tpu.pipeline.landmarks import box_iou
+
+    def sq(c, side):
+        return (c[0] - side / 2, c[1] - side / 2,
+                c[0] + side / 2, c[1] + side / 2)
+
+    return box_iou(sq(c_pred, side_pred), sq(c_true, side_true))
+
+
+def score_scenario(name: str, provider=None, t=20, seed=0) -> dict:
+    """Run a provider over one scenario; per-frame means of box IoU, mouth
+    crop IoU and center error (px, and relative to face width)."""
+    from lip2speech_tpu.pipeline import landmarks as lmk
+
+    frames, boxes, mouths = render_video(t=t, seed=seed, **SCENARIOS[name])
+    provider = provider or lmk.HeuristicLandmarks()
+    lms = provider(frames)
+
+    ious, crop_ious, errs, rel_errs = [], [], [], []
+    for i, lm in enumerate(lms):
+        gt_box, gt_mouth = boxes[i], mouths[i]
+        face_w = gt_box[2] - gt_box[0]
+        if lm is None:
+            ious.append(0.0)
+            crop_ious.append(0.0)
+            errs.append(float("nan"))
+            rel_errs.append(1.0)
+            continue
+        pred_box = (lm[:, 0].min(), lm[:, 1].min(),
+                    lm[:, 0].max(), lm[:, 1].max())
+        ious.append(lmk.box_iou(pred_box, gt_box))
+        c_pred = lm[48:68].mean(axis=0)
+        err = float(np.hypot(c_pred[0] - gt_mouth[0], c_pred[1] - gt_mouth[1]))
+        errs.append(err)
+        rel_errs.append(err / face_w)
+        crop_ious.append(_square_iou(
+            c_pred, gt_mouth,
+            side_pred=0.75 * (pred_box[2] - pred_box[0]),
+            side_true=0.75 * face_w))
+    return {"scenario": name,
+            "box_iou": float(np.mean(ious)),
+            "crop_iou": float(np.mean(crop_ious)),
+            "center_err_px": float(np.nanmean(errs)),
+            "center_err_rel": float(np.mean(rel_errs)),
+            "detected_frames": int(sum(lm is not None for lm in lms)),
+            "n_frames": t}
+
+
+def run_all(provider=None, t=20, seed=0) -> list[dict]:
+    return [score_scenario(n, provider=provider, t=t, seed=seed)
+            for n in SCENARIOS]
