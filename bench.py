@@ -5,12 +5,20 @@ synthesis RTF (seconds of audio generated per wall-clock second) for the
 full jitted video->units+mel->vocoder->wav program on the conformer-only
 preset; vs_baseline is RTF / 5.0 (BASELINE.json: >=5x real time per chip).
 
-The `details` field widens the artifact (VERDICT r1 next #6):
+The `details` field widens the artifact (VERDICT r1 next #6, r2 next #2/#10):
   flagship_rtf           same e2e RTF for the AV-HuBERT flagship preset
+  flagship_mfu_pct       flagship co-headline MFU (r2 next #10)
   batch1_p50_ms          single-clip (9.6 s) p50 serving latency
-  stage1_train_step_ms   full multi_target train step (B=2, T=240, flash on)
+  stage1_train_step_ms   multi_target train step (B=2, T=240, recipe dropout)
+  stage1_recipe_step_ms  the REFERENCE operating point: 600-frame bucket,
+                         max_tokens 3600 => B=6, update_freq 8, attention
+                         dropout 0.1 (conf/lrs3/multi_target.yaml:38-66);
+                         flash attention verified active via pallas_call in
+                         the lowered step (stage1_flash_active)
+  stage1_train_mfu_pct   recipe-step model FLOPs / wall / chip peak
   stage2_train_step_ms   vocoder GAN step (B=8, 8960-sample segments)
-  mfu_pct                model FLOPs (XLA cost analysis) / wall / chip peak
+  stage2_train_mfu_pct   GAN-step MFU
+  mfu_pct                serving e2e MFU (XLA cost analysis)
 
 Every detail is best-effort: a failure records the error string instead of
 breaking the one-line contract. Timing always syncs via a device->host
@@ -52,6 +60,22 @@ def _time_train_steps(step, state, batch, key, iters):
     return float(np.mean(times))
 
 
+def _step_cost_flops(step, state, batch, key):
+    """FLOPs of a compiled train step (XLA cost analysis); None on failure."""
+    try:
+        compiled = step.lower(state, batch, key).compile()
+        return float(compiled.cost_analysis()["flops"])
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _peak_flops():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    return next((p for s, p in PEAK_TFLOPS if s in kind), 197.0) * 1e12
+
+
 def _e2e(pipe_cfg_name, batch, frames, iters):
     import jax
     import jax.numpy as jnp
@@ -60,6 +84,9 @@ def _e2e(pipe_cfg_name, batch, frames, iters):
     from lip2speech_tpu.pipeline.synthesise import Lip2SpeechPipeline
 
     cfg = preset(pipe_cfg_name)
+    # serving configuration: MXU-folded vocoder tail (exact, ops/fold_conv.py)
+    cfg = dataclasses.replace(
+        cfg, vocoder=dataclasses.replace(cfg.vocoder, mxu_fold=True))
     pipe = Lip2SpeechPipeline.initialize_random(cfg, seed=0, frames=8)
     # serving configuration: bf16 compute + device-side PCM16 output
     pipe.compute_dtype = jnp.bfloat16
@@ -79,38 +106,67 @@ def _e2e(pipe_cfg_name, batch, frames, iters):
     return rtf, p50, fn, args
 
 
-def _train_step_stage1(iters=5):
+def _stage1_batch(accum, b, t, rng):
+    return {
+        "video": rng.standard_normal((accum, b, t, 88, 88, 1)).astype(np.float32),
+        "frames_mask": np.ones((accum, b, t), bool),
+        "spk_emb": rng.standard_normal((accum, b, 256)).astype(np.float32),
+        "unit_tokens": rng.integers(4, 204, (accum, b, 2 * t)).astype(np.int32),
+        "mel": rng.standard_normal((accum, b, 4 * t, 80)).astype(np.float32),
+    }
+
+
+def _stage1_step_setup(accum, b, t, check_flash=False):
+    """multi_target train step at the RECIPE dropout (attention_dropout 0.1):
+    the flash kernel handles in-kernel PRNG dropout on TPU (NOTES r2 §3), so
+    no dropout gymnastics are needed — but verify pallas_call is actually in
+    the lowered step rather than assuming."""
     import jax
 
     from lip2speech_tpu.core.config import preset
     from lip2speech_tpu.train import stage1
 
     cfg = preset("multi_target")
-    # attention_dropout must be 0 for the flash path to be selected under
-    # train=True (conformer.py gate) — with the preset's 0.1 the "flash"
-    # number would silently time the dense program
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(
             cfg.model, conformer=dataclasses.replace(
-                cfg.model.conformer, use_flash=True,
-                attention_dropout=0.0)))
-    b, t = 2, 240
+                cfg.model.conformer, use_flash=True)))
     rng = np.random.default_rng(1)
-    batch = {
-        "video": rng.standard_normal((1, b, t, 88, 88, 1)).astype(np.float32),
-        "frames_mask": np.ones((1, b, t), bool),
-        "spk_emb": rng.standard_normal((1, b, 256)).astype(np.float32),
-        "unit_tokens": rng.integers(4, 204, (1, b, 2 * t)).astype(np.int32),
-        "mel": rng.standard_normal((1, b, 4 * t, 80)).astype(np.float32),
-    }
+    batch = _stage1_batch(accum, b, t, rng)
     micro0 = {k: v[0] for k, v in batch.items()}
     model, tx, state = stage1.create_train_state(cfg, jax.random.PRNGKey(0), micro0)
     step = stage1.make_train_step(model, tx, cfg)
+    flash_active = check_flash and "pallas_call" in str(
+        jax.make_jaxpr(lambda s, bt, k: step.__wrapped__(s, bt, k))(
+            state, batch, jax.random.PRNGKey(1)))
+    return step, state, batch, flash_active
+
+
+def _train_step_stage1(iters=5):
+    import jax
+
+    step, state, batch, _ = _stage1_step_setup(1, 2, 240)
     return _time_train_steps(step, state, batch, jax.random.PRNGKey(1),
                              iters) * 1e3
 
 
-def _train_step_stage2(iters=5):
+def _train_step_stage1_recipe(details, iters=3):
+    """The reference operating point: 600-frame bucket, max_tokens 3600 =>
+    6 clips/micro, update_freq 8 (conf/lrs3/multi_target.yaml:38-66)."""
+    import jax
+
+    step, state, batch, flash_active = _stage1_step_setup(8, 6, 600,
+                                                          check_flash=True)
+    details["stage1_flash_active"] = bool(flash_active)
+    flops = _step_cost_flops(step, state, batch, jax.random.PRNGKey(1))
+    mean_s = _time_train_steps(step, state, batch, jax.random.PRNGKey(1), iters)
+    details["stage1_recipe_step_ms"] = round(mean_s * 1e3, 1)
+    if flops:
+        details["stage1_train_mfu_pct"] = round(
+            flops / mean_s / _peak_flops() * 100.0, 2)
+
+
+def _train_step_stage2(details, iters=5):
     import jax
 
     from lip2speech_tpu.core.config import preset
@@ -128,12 +184,20 @@ def _train_step_stage2(iters=5):
     }
     models, txs, state = stage2.create_gan_state(cfg, jax.random.PRNGKey(0), batch)
     step = stage2.make_gan_step(models, txs, cfg)
-    return _time_train_steps(step, state, batch, jax.random.PRNGKey(3),
-                             iters) * 1e3
+    flops = _step_cost_flops(step, state, batch, jax.random.PRNGKey(3))
+    mean_s = _time_train_steps(step, state, batch, jax.random.PRNGKey(3), iters)
+    if flops:
+        details["stage2_train_mfu_pct"] = round(
+            flops / mean_s / _peak_flops() * 100.0, 2)
+    return mean_s * 1e3
 
 
 def main():
     import jax
+
+    # compiles over the axon relay are slow; persist them across bench runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax-bench-cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     details: dict = {}
 
@@ -144,10 +208,8 @@ def main():
     try:
         compiled = fn.lower(*args).compile() if hasattr(fn, "lower") else None
         flops = float(compiled.cost_analysis()["flops"])
-        kind = jax.devices()[0].device_kind.lower()
-        peak = next((p for s, p in PEAK_TFLOPS if s in kind), 197.0) * 1e12
         wall = (4 * 240 / 25.0) / rtf
-        details["mfu_pct"] = round(flops / wall / peak * 100.0, 2)
+        details["mfu_pct"] = round(flops / wall / _peak_flops() * 100.0, 2)
         details["e2e_gflops_per_call"] = round(flops / 1e9, 1)
     except Exception as e:  # noqa: BLE001
         details["mfu_pct"] = f"error: {e}"
@@ -159,10 +221,16 @@ def main():
     except Exception as e:  # noqa: BLE001
         details["batch1_p50_ms"] = f"error: {e}"
 
-    # flagship AV-HuBERT frontend
+    # flagship AV-HuBERT frontend (co-headline, r2 next #10)
     try:
-        frtf, _, _, _ = _e2e("multi_target_avhubert", batch=4, frames=240, iters=5)
+        frtf, _, ffn, fargs = _e2e("multi_target_avhubert", batch=4,
+                                   frames=240, iters=5)
         details["flagship_rtf"] = round(frtf, 1)
+        fcompiled = ffn.lower(*fargs).compile()
+        fflops = float(fcompiled.cost_analysis()["flops"])
+        fwall = (4 * 240 / 25.0) / frtf
+        details["flagship_mfu_pct"] = round(
+            fflops / fwall / _peak_flops() * 100.0, 2)
     except Exception as e:  # noqa: BLE001
         details["flagship_rtf"] = f"error: {e}"
 
@@ -172,7 +240,11 @@ def main():
     except Exception as e:  # noqa: BLE001
         details["stage1_train_step_ms"] = f"error: {e}"
     try:
-        details["stage2_train_step_ms"] = round(_train_step_stage2(), 1)
+        _train_step_stage1_recipe(details)
+    except Exception as e:  # noqa: BLE001
+        details["stage1_recipe_step_ms"] = f"error: {e}"
+    try:
+        details["stage2_train_step_ms"] = round(_train_step_stage2(details), 1)
     except Exception as e:  # noqa: BLE001
         details["stage2_train_step_ms"] = f"error: {e}"
 

@@ -164,6 +164,10 @@ class VocoderConfig:
     code_hop_size: int = 320
     mel_hop_size: int = 160
     text_supervision: bool = False
+    # serving optimization: reformulate the small-channel late stages as
+    # output-time-folded matmuls with >=128 MXU lanes (ops/fold_conv.py).
+    # Numerically exact; off by default to keep training graphs identical.
+    mxu_fold: bool = False
 
     @property
     def total_upsample(self) -> int:

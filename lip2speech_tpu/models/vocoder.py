@@ -55,7 +55,10 @@ def _wn_weight(module: nn.Module, shape, fan_in: int, init_std: float | None):
 
 
 class WNConv1d(nn.Module):
-    """Weight-normed Conv1d (torch weight_norm(Conv1d(...)))."""
+    """Weight-normed Conv1d (torch weight_norm(Conv1d(...))).
+
+    fold > 1 computes the conv as an output-time-folded matmul
+    (ops/fold_conv.py, exact) — same params, MXU-shaped compute."""
 
     features: int
     kernel_size: int
@@ -64,6 +67,7 @@ class WNConv1d(nn.Module):
     dilation: int = 1
     groups: int = 1
     init_std: float | None = 0.01  # HiFi-GAN init_weights(mean=0, std=0.01)
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -72,6 +76,11 @@ class WNConv1d(nn.Module):
         w = _wn_weight(self, (self.kernel_size, in_dim // self.groups, self.features),
                        fan_in, self.init_std)
         b = self.param("bias", torch_uniform_init(fan_in), (self.features,))
+        if self.fold > 1 and self.stride == 1 and self.groups == 1:
+            from lip2speech_tpu.ops import fold_conv as fc
+
+            return fc.fold_conv1d(x, w, b, self.padding, self.dilation,
+                                  self.fold)
         return ops.conv1d(x, w, b, self.stride, self.padding, self.dilation, self.groups)
 
 
@@ -81,6 +90,7 @@ class WNConvTranspose1d(nn.Module):
     stride: int
     padding: int
     init_std: float | None = 0.01
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -90,6 +100,11 @@ class WNConvTranspose1d(nn.Module):
         # i.e. the norm/g are per INPUT channel — so g sits on our last axis
         w = _wn_weight(self, (self.kernel_size, self.features, in_dim), fan_in, self.init_std)
         b = self.param("bias", torch_uniform_init(fan_in), (self.features,))
+        if self.fold > 1 and self.kernel_size == self.stride + 2 * self.padding:
+            from lip2speech_tpu.ops import fold_conv as fc
+
+            return fc.fold_conv_transpose1d(x, w, b, self.stride,
+                                            self.padding, self.fold)
         return ops.conv_transpose1d(x, w, b, self.stride, self.padding)
 
 
@@ -167,6 +182,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int
     dilations: Sequence[int] = (1, 3, 5)
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -175,10 +191,10 @@ class ResBlock1(nn.Module):
             pad2 = (self.kernel_size - 1) // 2
             xt = ops.leaky_relu(x, LRELU_SLOPE)
             xt = WNConv1d(self.channels, self.kernel_size, padding=pad1, dilation=d,
-                          name=f"convs1_{i}")(xt)
+                          fold=self.fold, name=f"convs1_{i}")(xt)
             xt = ops.leaky_relu(xt, LRELU_SLOPE)
             xt = WNConv1d(self.channels, self.kernel_size, padding=pad2, dilation=1,
-                          name=f"convs2_{i}")(xt)
+                          fold=self.fold, name=f"convs2_{i}")(xt)
             x = xt + x
         return x
 
@@ -194,17 +210,32 @@ class HiFiGANGenerator(nn.Module):
         h = self.cfg
         x = WNConv1d(h.upsample_initial_channel, 7, padding=3, name="conv_pre")(x)
         num_kernels = len(h.resblock_kernel_sizes)
+
+        def stage_fold(ch: int, t_len: int) -> int:
+            if not h.mxu_fold:
+                return 1
+            from lip2speech_tpu.ops.fold_conv import pick_fold
+
+            return pick_fold(ch, t_len)
+
         for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
             ch = h.upsample_initial_channel // (2 ** (i + 1))
+            t_out = x.shape[1] * u
+            f = stage_fold(ch, t_out)
             x = ops.leaky_relu(x, LRELU_SLOPE)
-            x = WNConvTranspose1d(ch, k, u, (k - u) // 2, name=f"ups_{i}")(x)
+            # the transpose's own output folding spans stride*fold_in lanes
+            x = WNConvTranspose1d(ch, k, u, (k - u) // 2,
+                                  fold=max(1, f // u) if f > 1 else 1,
+                                  name=f"ups_{i}")(x)
             acc = None
             for j, (rk, rd) in enumerate(zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)):
-                y = ResBlock1(ch, rk, tuple(rd), name=f"resblocks_{i * num_kernels + j}")(x)
+                y = ResBlock1(ch, rk, tuple(rd), fold=f,
+                              name=f"resblocks_{i * num_kernels + j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
         x = ops.leaky_relu(x, 0.01)  # torch F.leaky_relu default slope here
-        x = WNConv1d(1, 7, padding=3, name="conv_post")(x)
+        x = WNConv1d(1, 7, padding=3, fold=stage_fold(1, x.shape[1]),
+                     name="conv_post")(x)
         return jnp.tanh(x)[..., 0]
 
 

@@ -1,0 +1,125 @@
+"""MXU-shaped reformulation of small-channel 1-D convs (the HiFi-GAN tail).
+
+The vocoder's late stages run 16-64 channels over 10^5-10^6 samples
+(speech-resynthesis/models.py:98-114 at 320x upsampling). A direct conv with
+C_out=16 uses 16 of the MXU's 128 output lanes — measured ~17.5% MFU for the
+vocoder and ~10% for its tail (NOTES r2 §2), which is the binding constraint
+on serving RTF.
+
+Trick: compute F consecutive output samples as ONE matmul row block —
+"output-time folding". For a stride-1 dilated conv (K taps, dilation d),
+the F outputs y[tF..tF+F-1] depend on the contiguous input window
+x[tF-P : tF-P + F+(K-1)d]. Materialize those windows as patches
+(B, T/F, (F+(K-1)d)*C) and multiply by a sparse-placed weight matrix
+((F+(K-1)d)*C, F*C_out): the matmul now has F*C_out >= 128 output lanes.
+Useful-MAC fraction k/(F+(K-1)d) trades some redundant FLOPs for 8x lane
+occupancy — net win for K*d small vs F (the k=3 convs2 and all transposes),
+and bounded loss for k=11,d=5.
+
+ConvTranspose (stride s) decomposes into s polyphase stride-1 correlations
+(y[ms+r] = sum_j' w[j's+rho_r] x[m+c_r-j']); all s phases and F folds emit
+from one matmul with F*s*C_out lanes.
+
+Everything here is EXACT (pure reindexing of the same MACs + zeros) and pure
+XLA — the patch gather and matmul fuse into one HLO; no Pallas required for
+this one. Used by the serving path via VocoderConfig.mxu_fold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def _patches(x: jnp.ndarray, fold: int, width: int, start: int) -> jnp.ndarray:
+    """x (B, T, C) -> (B, T/fold, width, C); window for folded step t begins
+    at sample t*fold + start (out-of-range reads are zeros)."""
+    b, t, c = x.shape
+    assert t % fold == 0, (t, fold)
+    pad_l = max(0, -start)
+    pad_r = max(0, (t - fold) + start + width - t)
+    xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)))
+    idx = (np.arange(t // fold) * fold)[:, None] + np.arange(width)[None, :] \
+        + (start + pad_l)
+    return xp[:, idx, :]
+
+
+def fold_conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None,
+                padding: int, dilation: int, fold: int) -> jnp.ndarray:
+    """'Same-length' stride-1 conv1d (torch semantics, T_out == T required)
+    with output-time folding. x: (B, T, C); w: (K, C, Co)."""
+    B, T, C = x.shape
+    K, _, Co = w.shape
+    assert T + 2 * padding - (K - 1) * dilation == T, \
+        "fold_conv1d requires length-preserving padding"
+    width = fold + (K - 1) * dilation
+    patches = _patches(x, fold, width, -padding)        # (B, T/F, width, C)
+
+    # W[f + j*d, :, f, :] = w[j]  (offset within the window is f + j*d)
+    f_idx, j_idx = np.meshgrid(np.arange(fold), np.arange(K), indexing="ij")
+    pos = (f_idx + j_idx * dilation).reshape(-1)
+    wmat = jnp.zeros((width, C, fold, Co), w.dtype)
+    wmat = wmat.at[pos, :, f_idx.reshape(-1), :].set(
+        jnp.broadcast_to(w[j_idx.reshape(-1)], (fold * K, C, Co)))
+
+    y = jnp.einsum("bswc,wcfo->bsfo", patches, wmat,
+                   preferred_element_type=jnp.float32)
+    y = y.reshape(B, T, Co)
+    return y if b is None else y + b
+
+
+def fold_conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,
+                          b: jnp.ndarray | None, stride: int, padding: int,
+                          fold: int) -> jnp.ndarray:
+    """ConvTranspose1d (torch layout w: (K, Co, Ci)) with output folding,
+    restricted to configs where T_out == stride * T_in (true for all the
+    HiFi-GAN stages: (k-1)*stride == k - 2*padding... i.e.
+    (T-1)s - 2p + k == Ts  <=>  k == s + 2p)."""
+    B, T, C = x.shape
+    K, Co, _ = w.shape
+    s = stride
+    assert K == s + 2 * padding, "fold_conv_transpose1d needs T_out == s*T_in"
+
+    # polyphase: y[m*s + r] = sum_{j'} w[j'*s + rho_r] . x[m + c_r - j']
+    phases = []
+    for r in range(s):
+        rho = (r + padding) % s
+        c_r = (r + padding) // s
+        js = np.arange(rho, K, s)          # absolute taps of this phase
+        phases.append((r, c_r, js))
+
+    offsets = [c_r - j_rel
+               for (_, c_r, js) in phases
+               for j_rel in range(len(js))]
+    omin = min(o for o in offsets)
+    omax = (fold - 1) + max(o for o in offsets)
+    width = omax - omin + 1
+    patches = _patches(x, fold, width, omin)             # (B, T/F, width, C)
+
+    pos_l, col_l, tap_l = [], [], []
+    for f in range(fold):
+        for (r, c_r, js) in phases:
+            for j_rel, j_abs in enumerate(js):
+                pos_l.append((f + c_r - j_rel) - omin)
+                col_l.append(f * s + r)
+                tap_l.append(j_abs)
+    wmat = jnp.zeros((width, C, fold * s, Co), w.dtype)
+    # torch convT weight (K, Co, Ci) -> per-tap (Ci, Co); (pos, col) pairs are
+    # unique (taps of one output phase land on distinct window offsets)
+    wmat = wmat.at[np.array(pos_l), :, np.array(col_l), :].set(
+        jnp.transpose(w[np.array(tap_l)], (0, 2, 1)))
+
+    y = jnp.einsum("bswc,wcfo->bsfo", patches, wmat,
+                   preferred_element_type=jnp.float32)
+    y = y.reshape(B, T * s, Co)
+    return y if b is None else y + b
+
+
+def pick_fold(channels: int, t_len: int, target_lanes: int = 128) -> int:
+    """Fold factor bringing fold*channels to >= target MXU lanes (bounded by
+    divisibility of the sequence length)."""
+    f = max(1, target_lanes // max(channels, 1))
+    while f > 1 and t_len % f:
+        f //= 2
+    return f
