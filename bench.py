@@ -84,9 +84,9 @@ def _e2e(pipe_cfg_name, batch, frames, iters):
     from lip2speech_tpu.pipeline.synthesise import Lip2SpeechPipeline
 
     cfg = preset(pipe_cfg_name)
-    # serving configuration: MXU-folded vocoder tail (exact, ops/fold_conv.py)
-    cfg = dataclasses.replace(
-        cfg, vocoder=dataclasses.replace(cfg.vocoder, mxu_fold=True))
+    # NOTE: VocoderConfig.mxu_fold stays OFF — the exact lane-packing
+    # reformulation measured 4-6x SLOWER on the chip (NOTES r3: XLA
+    # materializes the patch construction instead of fusing it)
     pipe = Lip2SpeechPipeline.initialize_random(cfg, seed=0, frames=8)
     # serving configuration: bf16 compute + device-side PCM16 output
     pipe.compute_dtype = jnp.bfloat16

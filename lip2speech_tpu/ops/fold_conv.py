@@ -21,12 +21,22 @@ ConvTranspose (stride s) decomposes into s polyphase stride-1 correlations
 from one matmul with F*s*C_out lanes.
 
 Everything here is EXACT (pure reindexing of the same MACs + zeros) and pure
-XLA — the patch gather and matmul fuse into one HLO; no Pallas required for
-this one. Used by the serving path via VocoderConfig.mxu_fold.
+XLA. MEASURED RESULT on TPU v5e (batch 4 x 9.6 s clips, bf16): the folded
+generator runs 4-6x SLOWER than the direct convs (77 ms -> 476 ms wall)
+with BOTH patch constructions tried — fancy-index gather AND width
+stride-F slices — because XLA materializes the (width/F)x-duplicated patch
+tensor through HBM instead of fusing it into the matmul. The formulation is
+kept as a tested, documented experiment (VocoderConfig.mxu_fold, default
+OFF; exactness pinned by tests/test_fold_conv.py): realizing the lane-packing
+win requires building the patches in VMEM inside a Pallas kernel, and the
+arithmetic ceiling of ANY exact lane-packing is k/(F+(k-1)d) useful-MAC
+fraction ~ 17-30%, i.e. at most ~2x on the vocoder tail. Full evidence and
+the measured breakdown live in NOTES.md (round 3).
 """
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 import jax.numpy as jnp
@@ -34,15 +44,21 @@ import jax.numpy as jnp
 
 def _patches(x: jnp.ndarray, fold: int, width: int, start: int) -> jnp.ndarray:
     """x (B, T, C) -> (B, T/fold, width, C); window for folded step t begins
-    at sample t*fold + start (out-of-range reads are zeros)."""
+    at sample t*fold + start (out-of-range reads are zeros).
+
+    Built from `width` stride-`fold` slices (one per window offset), NOT a
+    fancy-index gather — TPU lowers strided slices to cheap copies while a
+    2-D gather materializes catastrophically (measured 4-7x slower)."""
     b, t, c = x.shape
     assert t % fold == 0, (t, fold)
     pad_l = max(0, -start)
     pad_r = max(0, (t - fold) + start + width - t)
     xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)))
-    idx = (np.arange(t // fold) * fold)[:, None] + np.arange(width)[None, :] \
-        + (start + pad_l)
-    return xp[:, idx, :]
+    base = start + pad_l
+    cols = [jax.lax.slice_in_dim(xp, base + w, base + w + (t - fold) + 1,
+                                 stride=fold, axis=1)
+            for w in range(width)]
+    return jnp.stack(cols, axis=2)                 # (B, T/fold, width, C)
 
 
 def fold_conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None,
