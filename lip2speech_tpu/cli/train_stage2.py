@@ -116,6 +116,17 @@ def main(argv=None):
                                       jnp.asarray(vb0["spk_emb"][:1]),
                                       deterministic=True)
                 mlog.audio(steps, "val_pred", np.asarray(wav)[0])
+                # spectrogram figures of generated vs ground-truth audio
+                # (reference train.py:222-241 y_hat_spec / y_spec figures)
+                from lip2speech_tpu.ops.dsp import mel_spectrogram_hifigan
+
+                pred_mel = mel_spectrogram_hifigan(
+                    wav[:1], cfg.audio.sample_rate, cfg.audio.loss_n_fft,
+                    cfg.audio.loss_hop_length, cfg.audio.loss_win_length,
+                    cfg.audio.num_mels, cfg.audio.fmin, cfg.audio.loss_fmax)
+                mlog.mel(steps, "val_pred_spec", np.asarray(pred_mel)[0])
+                mlog.mel(steps, "val_gt_spec", np.asarray(vb0["mel"][0]),
+                         figure=True)
         state = stage2.next_epoch(state)
     ckpt.save_stage2(ckpt_dir, state, steps)
     print(f"done: {steps} steps, {args.epochs} epochs")

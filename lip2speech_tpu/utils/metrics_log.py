@@ -35,10 +35,33 @@ class MetricsLogger:
         write_wav(self.logdir / "audio" / f"{name}_{step:08d}.wav",
                   np.asarray(wav), sample_rate)
 
-    def mel(self, step: int, name: str, mel: np.ndarray) -> None:
+    def mel(self, step: int, name: str, mel: np.ndarray,
+            figure: bool = True) -> None:
         path = self.logdir / "mel" / f"{name}_{step:08d}.npy"
         path.parent.mkdir(parents=True, exist_ok=True)
         np.save(path, np.asarray(mel))
+        if figure:
+            self.mel_figure(step, name, mel)
+
+    def mel_figure(self, step: int, name: str, mel: np.ndarray) -> None:
+        """PNG spectrogram figure — the TensorBoard figure the reference logs
+        per validation clip (multi_input_vocoder/train.py:222-241 via
+        utils.plot_spectrogram). No-op if matplotlib is absent."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:  # pragma: no cover - matplotlib is in-image
+            return
+        path = self.logdir / "fig" / f"{name}_{step:08d}.png"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        fig, ax = plt.subplots(figsize=(10, 2))
+        im = ax.imshow(np.asarray(mel).T, aspect="auto", origin="lower",
+                       interpolation="none")
+        fig.colorbar(im, ax=ax)
+        fig.savefig(path, bbox_inches="tight", dpi=80)
+        plt.close(fig)
 
     def close(self) -> None:
         self._f.close()

@@ -23,7 +23,7 @@ from lip2speech_tpu.data.stage1 import Stage1Dataset
 from lip2speech_tpu.train import stage1
 
 ROOT = "/root/reference/datasets/lrs3"
-STEPS = 40
+STEPS = 75
 
 
 @pytest.mark.slow
