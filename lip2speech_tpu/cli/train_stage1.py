@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--save-interval", type=int, default=1000)
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--uint8-video", action="store_true",
+                   help="ship video to the device as uint8 and normalize "
+                        "on-device (4x less host->device transfer; the train "
+                        "step is bandwidth-bound, NOTES r3)")
     p.add_argument("--resume", action="store_true",
                    help="restore the latest s1_* checkpoint in --checkpoint-dir "
                         "(params, optimizer, step) and continue")
@@ -54,11 +58,12 @@ def main(argv=None):
 
     ds = Stage1Dataset(args.train_tsv, args.train_unt, root_override=args.root,
                        train=True, random_erase=True, time_mask=True,
-                       seed=args.seed)
+                       seed=args.seed, emit_uint8=args.uint8_video)
     val_ds = None
     if args.valid_tsv:
         val_ds = Stage1Dataset(args.valid_tsv, args.valid_unt,
-                               root_override=args.root, train=False)
+                               root_override=args.root, train=False,
+                               emit_uint8=args.uint8_video)
     mesh = fitting_mesh(cfg.stage1.batch_size)
     print(f"devices: {jax.device_count()}, mesh: {mesh.shape}")
 

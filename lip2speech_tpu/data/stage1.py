@@ -58,6 +58,7 @@ class Stage1Dataset:
         time_mask: bool = False,
         seed: int = 0,
         units_cfg: UnitConfig = UnitConfig(),
+        emit_uint8: bool = False,
     ):
         self.utts = read_manifest(tsv_path, unt_path, root_override)
         self.train = train
@@ -66,6 +67,7 @@ class Stage1Dataset:
         self.random_erase = random_erase
         self.time_mask = time_mask
         self.units_cfg = units_cfg
+        self.emit_uint8 = emit_uint8
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -75,7 +77,8 @@ class Stage1Dataset:
         utt = self.utts[idx]
         frames = load_video_gray(utt.video_path)[: self.max_frames]
         video = prepare_video(frames, self.crop_size, self.train, self.rng,
-                              self.random_erase, self.time_mask)
+                              self.random_erase, self.time_mask,
+                              emit_uint8=self.emit_uint8)
         spk = np.load(utt.spk_emb_path).astype(np.float32)
         mel = None
         if utt.mel_path.exists():
@@ -91,7 +94,13 @@ class Stage1Dataset:
         b = len(samples)
         size = samples[0].video.shape[1]
 
-        video = np.zeros((b, t, size, size, 1), np.float32)
+        if self.emit_uint8:
+            # uint8 wire format; pad with the pixel closest to normalized 0
+            from lip2speech_tpu.data.transforms import UINT8_FILL
+
+            video = np.full((b, t, size, size, 1), UINT8_FILL, np.uint8)
+        else:
+            video = np.zeros((b, t, size, size, 1), np.float32)
         mask = np.zeros((b, t), bool)
         spk = np.zeros((b, 256), np.float32)
         units = np.full((b, cfg.units_per_frame * t + 1), cfg.pad, np.int32)

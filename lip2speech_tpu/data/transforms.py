@@ -44,6 +44,7 @@ def random_erase(
     p: float = 0.5,
     scale=(0.02, 0.33),
     ratio=(0.3, 3.3),
+    fill: float = 0.0,
 ) -> np.ndarray:
     """NOTE: the reference's get_params returns (i, j, h, w) with h/w the FULL
     frame dims (utils_aug.py:176-183 bug-for-bug), so the erase zeroes from
@@ -62,7 +63,7 @@ def random_erase(
             i = int(rng.integers(0, h - eh + 1))
             j = int(rng.integers(0, w - ew + 1))
             out = frames.copy()
-            out[:, i:, j:] = 0.0  # matches reference frames[:, i:i+h, j:j+w] with h,w = full dims
+            out[:, i:, j:] = fill  # matches reference frames[:, i:i+h, j:j+w] with h,w = full dims
             return out
     return frames
 
@@ -73,6 +74,7 @@ def time_mask(
     max_mask_s: float = 0.4,
     hop_s: float = 1.0,
     fps: int = 25,
+    fill: float = 0.0,
 ) -> np.ndarray:
     max_mask = round(max_mask_s * fps)
     hop = round(hop_s * fps)
@@ -80,7 +82,7 @@ def time_mask(
     for i in range(len(frames) // hop):
         mask_len = int(rng.integers(0, max_mask + 1))
         mask_start = int(rng.integers(0, hop - mask_len + 1))
-        out[i * hop + mask_start : i * hop + mask_start + mask_len] = 0.0
+        out[i * hop + mask_start : i * hop + mask_start + mask_len] = fill
     return out
 
 
@@ -115,6 +117,12 @@ def adaptive_time_mask(
     return out
 
 
+# uint8 pixel whose dequantized value is closest to normalized 0.0
+# (0.421 * 255 = 107.355): erase/mask/pad fills in the uint8 wire format
+# land at +0.0084 sigma instead of exactly 0.0
+UINT8_FILL = 107
+
+
 def prepare_video(
     frames_u8: np.ndarray,
     crop_size: int = 88,
@@ -122,8 +130,30 @@ def prepare_video(
     rng: np.random.Generator | None = None,
     use_random_erase: bool = False,
     use_time_mask: bool = False,
+    emit_uint8: bool = False,
 ) -> np.ndarray:
-    """uint8 (T, H, W) -> normalized float32 (T, crop, crop)."""
+    """uint8 (T, H, W) -> normalized float32 (T, crop, crop).
+
+    emit_uint8=True keeps the pixels in uint8 (geometric augs only on the
+    host; erase/time-mask fill with UINT8_FILL) so the host->device transfer
+    is 4x smaller — the train step dequantizes on device
+    (ops.nn.dequantize_video), bit-exact vs this float path for un-erased
+    pixels. The hot rule on TPU: never ship f32 over the wire when the
+    source is 8-bit (HBM/PCIe/relay bandwidth is the training bottleneck,
+    NOTES r3)."""
+    if emit_uint8:
+        x = frames_u8
+        if train:
+            assert rng is not None
+            x = random_crop(x, crop_size, rng)
+            x = horizontal_flip(x, rng)
+            if use_random_erase:
+                x = random_erase(x, rng, fill=UINT8_FILL)
+            if use_time_mask:
+                x = time_mask(x, rng, fill=UINT8_FILL)
+        else:
+            x = center_crop(x, crop_size)
+        return np.ascontiguousarray(x.astype(np.uint8))
     x = frames_u8.astype(np.float32) / 255.0
     if train:
         assert rng is not None

@@ -275,3 +275,17 @@ def sinusoidal_rel_pos_encoding(length: int, d_model: int) -> np.ndarray:
     pe_neg[:, 0::2] = np.sin(-pos * div)
     pe_neg[:, 1::2] = np.cos(-pos * div)
     return np.concatenate([pe_pos[::-1], pe_neg[1:]], axis=0)
+
+
+def dequantize_video(video: jnp.ndarray) -> jnp.ndarray:
+    """uint8 wire-format video -> normalized float32 ON DEVICE.
+
+    Training batches ship video as uint8 (data/transforms.prepare_video
+    emit_uint8) because host->device bandwidth, not FLOPs, bounds the train
+    step (NOTES r3); this is the matching device-side (x/255 - mean)/std.
+    float inputs pass through unchanged (already normalized on host)."""
+    if video.dtype != jnp.uint8:
+        return video
+    from lip2speech_tpu.data.transforms import IMAGE_MEAN, IMAGE_STD
+
+    return (video.astype(jnp.float32) / 255.0 - IMAGE_MEAN) / IMAGE_STD

@@ -81,11 +81,13 @@ def create_train_state(cfg: PipelineConfig, rng: jax.Array, sample_batch: dict,
     """When a mesh with a model axis > 1 is given, transformer FFN/attention
     weights are tensor-parallel sharded (parallel/sharding_rules.py); the
     optimizer state inherits the same shardings elementwise."""
+    from lip2speech_tpu.ops.nn import dequantize_video
+
     model = MultiTargetModel(cfg.model)
     init_rng, drop_rng = jax.random.split(rng)
     variables = model.init(
         {"params": init_rng, "dropout": drop_rng},
-        jnp.asarray(sample_batch["video"]),
+        dequantize_video(jnp.asarray(sample_batch["video"])),
         jnp.asarray(sample_batch["frames_mask"]),
         jnp.asarray(sample_batch["spk_emb"]),
         train=False,
@@ -112,9 +114,12 @@ def make_train_step(model: MultiTargetModel, tx, cfg: PipelineConfig, mesh=None)
     pad_id = cfg.model.units.pad
 
     def micro_loss(params, batch_stats, micro, rng):
+        from lip2speech_tpu.ops.nn import dequantize_video
+
         variables = {"params": params, "batch_stats": batch_stats}
         outputs, mutated = model.apply(
-            variables, micro["video"], micro["frames_mask"], micro["spk_emb"],
+            variables, dequantize_video(micro["video"]),
+            micro["frames_mask"], micro["spk_emb"],
             train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
         loss, sample_size, logs = stage1_loss(
             outputs, micro, pad_id,
@@ -188,10 +193,21 @@ def pad_batch_rows(batch: dict, bsz: int, pad_id: int) -> dict:
             continue
         pad = [(0, 0)] * v.ndim
         pad[0] = (0, bsz - b)
-        out[k] = np.pad(v, pad, constant_values=(
-            pad_id if k == "unit_tokens" else
-            False if v.dtype == np.bool_ else 0))
+        out[k] = np.pad(v, pad, constant_values=_pad_value(k, v, pad_id))
     return out
+
+
+def _pad_value(k: str, v, pad_id: int):
+    if k == "unit_tokens":
+        return pad_id
+    if v.dtype == np.bool_:
+        return False
+    if k == "video" and v.dtype == np.uint8:
+        # uint8 wire format: pad with the pixel closest to normalized 0
+        from lip2speech_tpu.data.transforms import UINT8_FILL
+
+        return UINT8_FILL
+    return 0
 
 
 def stack_accum(batches: list[dict], pad_id: int | None = None,
@@ -225,9 +241,8 @@ def stack_accum(batches: list[dict], pad_id: int | None = None,
                         pad[1] = (0, 2 * t + 1 - v.shape[1])
                     elif k == "mel":
                         pad[1] = (0, 4 * t - v.shape[1])
-                    nb[k] = np.pad(v, pad, constant_values=(
-                        pad_id if k == "unit_tokens" else
-                        False if v.dtype == np.bool_ else 0))
+                    nb[k] = np.pad(v, pad,
+                                   constant_values=_pad_value(k, v, pad_id))
                 b = nb
             padded.append(b)
         batches = padded
@@ -241,8 +256,11 @@ def make_eval_step(model: MultiTargetModel, cfg: PipelineConfig):
 
     @jax.jit
     def eval_step(params, batch_stats, batch):
+        from lip2speech_tpu.ops.nn import dequantize_video
+
         variables = {"params": params, "batch_stats": batch_stats}
-        outputs = model.apply(variables, batch["video"], batch["frames_mask"],
+        outputs = model.apply(variables, dequantize_video(batch["video"]),
+                              batch["frames_mask"],
                               batch["spk_emb"], train=False)
         from lip2speech_tpu.train.losses import label_smoothed_ce, unit_accuracy
 
