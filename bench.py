@@ -120,7 +120,8 @@ def _stage1_batch(accum, b, t, rng, uint8=False):
     }
 
 
-def _stage1_step_setup(accum, b, t, check_flash=False, uint8=False):
+def _stage1_step_setup(accum, b, t, check_flash=False, uint8=False,
+                       bf16=False):
     """multi_target train step at the RECIPE dropout (attention_dropout 0.1):
     the flash kernel handles in-kernel PRNG dropout on TPU (NOTES r2 §3), so
     no dropout gymnastics are needed — but verify pallas_call is actually in
@@ -134,7 +135,8 @@ def _stage1_step_setup(accum, b, t, check_flash=False, uint8=False):
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(
             cfg.model, conformer=dataclasses.replace(
-                cfg.model.conformer, use_flash=True)))
+                cfg.model.conformer, use_flash=True)),
+        stage1=dataclasses.replace(cfg.stage1, bf16_compute=bf16))
     rng = np.random.default_rng(1)
     batch = _stage1_batch(accum, b, t, rng, uint8=uint8)
     micro0 = {k: v[0] for k, v in batch.items()}
@@ -194,6 +196,16 @@ def _train_step_stage1_recipe(details, iters=3):
             if flops:
                 details["stage1_train_mfu_pct"] = round(
                     flops / mean_s / _peak_flops() * 100.0, 2)
+            # bf16 mixed-precision training (beyond-reference flag)
+            try:
+                step_h, state_h, batch_h, _ = _stage1_step_setup(
+                    8, b, 600, uint8=True, bf16=True)
+                batch_h = jax.device_put(batch_h)
+                mean_h = _time_train_steps(step_h, state_h, batch_h,
+                                           jax.random.PRNGKey(1), iters)
+                details["stage1_recipe_bf16_ms"] = round(mean_h * 1e3, 1)
+            except Exception as e:  # noqa: BLE001
+                details["stage1_recipe_bf16_ms"] = f"error: {e}"
             return
         except Exception as e:  # noqa: BLE001
             last_err = e

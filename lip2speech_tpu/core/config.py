@@ -202,6 +202,11 @@ class Stage1TrainConfig:
     batch_size: int = 8
     seed: int = 1337
     freeze_finetune_updates: int = 0
+    # bf16 mixed-precision training (beyond-reference; yaml fp16:false):
+    # forward/backward in bf16 with f32 master weights + f32 optimizer state
+    # and f32 loss/grad accumulation — the TPU-natural mixed precision, no
+    # loss scaling needed (bf16 shares the f32 exponent range)
+    bf16_compute: bool = False
 
 
 @dataclass(frozen=True)

@@ -116,16 +116,33 @@ def make_train_step(model: MultiTargetModel, tx, cfg: PipelineConfig, mesh=None)
     def micro_loss(params, batch_stats, micro, rng):
         from lip2speech_tpu.ops.nn import dequantize_video
 
+        video = dequantize_video(micro["video"])
+        spk = micro["spk_emb"]
+        if s1.bf16_compute:
+            # bf16 compute with f32 master weights: the cast is inside the
+            # loss, so autodiff returns f32 grads (cast's VJP casts back)
+            def cast(t, to=jnp.bfloat16, frm=jnp.float32):
+                return jax.tree_util.tree_map(
+                    lambda x: x.astype(to) if x.dtype == frm else x, t)
+
+            params = cast(params)
+            batch_stats = cast(batch_stats)
+            video = video.astype(jnp.bfloat16)
+            spk = spk.astype(jnp.bfloat16)
         variables = {"params": params, "batch_stats": batch_stats}
         outputs, mutated = model.apply(
-            variables, dequantize_video(micro["video"]),
-            micro["frames_mask"], micro["spk_emb"],
+            variables, video, micro["frames_mask"], spk,
             train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+        if s1.bf16_compute:
+            # losses in f32 (softmax/CE accuracy); running stats carried f32
+            outputs = cast(outputs, to=jnp.float32, frm=jnp.bfloat16)
+            new_stats = cast(new_stats, to=jnp.float32, frm=jnp.bfloat16)
         loss, sample_size, logs = stage1_loss(
             outputs, micro, pad_id,
             label_smoothing=s1.label_smoothing, mel_weight=s1.mel_weight,
             text_weight=s1.text_weight, sentence_avg=s1.sentence_avg)
-        return loss, (sample_size, logs, mutated["batch_stats"])
+        return loss, (sample_size, logs, new_stats)
 
     grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 

@@ -68,3 +68,36 @@ def test_uint8_train_step_matches_f32(lrs3_sample_dir):
     _, logs_u = step(state_u, su, jax.random.PRNGKey(1))
     lf, lu = float(logs_f["loss"]), float(logs_u["loss"])
     assert abs(lf - lu) / max(abs(lf), 1e-6) < 2e-3, (lf, lu)
+
+
+def test_bf16_train_step(lrs3_sample_dir):
+    """bf16 mixed-precision training (beyond-reference): step runs, loss is
+    close to the f32 step, params/grads stay f32 (master weights)."""
+    cfg = preset("multi_target")
+    cfg = with_overrides(cfg, {
+        "model.conformer": ConformerConfig(dim=32, ffn_dim=64, heads=2,
+                                           layers=1, input_dim=512),
+        "stage1.update_freq": 1, "stage1.batch_size": 2,
+        "stage1.max_updates": 2, "stage1.warmup_updates": 1,
+    })
+    cfg_bf = with_overrides(cfg, {"stage1.bf16_compute": True})
+    ds = Stage1Dataset(f"{ROOT}/label/test.tsv", f"{ROOT}/label/test.unt",
+                       root_override=ROOT, train=False, max_frames=12,
+                       emit_uint8=True)
+    b = ds.collate([ds.load(0), ds.load(1)], pad_to=12)
+    model, tx, state = stage1.create_train_state(cfg, jax.random.PRNGKey(0), b)
+    stacked = stage1.stack_accum([b], pad_id=cfg.model.units.pad, batch_size=2)
+
+    step_f = stage1.make_train_step(model, tx, cfg)
+    step_b = stage1.make_train_step(model, tx, cfg_bf)
+    state2 = jax.tree_util.tree_map(jnp.copy, state)
+    new_f, logs_f = step_f(state, stacked, jax.random.PRNGKey(1))
+    new_b, logs_b = step_b(state2, stacked, jax.random.PRNGKey(1))
+
+    lf, lb = float(logs_f["loss"]), float(logs_b["loss"])
+    assert np.isfinite(lb)
+    assert abs(lf - lb) / max(abs(lf), 1e-6) < 0.02, (lf, lb)  # bf16 noise
+    # master weights stay f32 after the update
+    leaves = jax.tree_util.tree_leaves(new_b.params)
+    assert all(x.dtype == jnp.float32 for x in leaves)
+    assert float(logs_b["grad_norm"]) > 0
