@@ -138,6 +138,10 @@ class Conv3d(nn.Module):
         kinit = self.kernel_init or torch_uniform_init(fan_in)
         w = self.param("weight", kinit, (kt, kh, kw, in_dim, self.features))
         b = self.param("bias", torch_uniform_init(fan_in), (self.features,)) if self.use_bias else None
+        if self.stride[0] == 1 and in_dim * kt <= 16:
+            # thin-channel stem: fold temporal taps into conv2d channels
+            # (ops.conv3d_timestack — 4.2x on TPU for the Cin=1 ResNet stem)
+            return ops.conv3d_timestack(x, w, b, self.stride, self.padding)
         return ops.conv3d(x, w, b, self.stride, self.padding)
 
 

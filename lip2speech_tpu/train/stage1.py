@@ -19,6 +19,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from flax.core import FrozenDict
@@ -198,8 +199,6 @@ def pad_batch_rows(batch: dict, bsz: int, pad_id: int) -> dict:
     counts only sentences with >=1 valid token). This replaces truncating a
     group of micro-batches to the smallest one, which silently dropped tail
     samples (fairseq instead pads to required_batch_size_multiple)."""
-    import numpy as np
-
     b = batch["video"].shape[0]
     if b >= bsz:
         return batch
@@ -236,8 +235,6 @@ def stack_accum(batches: list[dict], pad_id: int | None = None,
     usual masked padding. Pass batch_size to pad every micro-batch to the
     configured static size (required for an even split over the data mesh
     axis, and keeps one compiled shape per bucket)."""
-    import numpy as np
-
     if pad_id is not None:
         t = max(b["video"].shape[1] for b in batches)
         bsz = batch_size or max(b["video"].shape[0] for b in batches)

@@ -46,6 +46,35 @@ def test_conv3d_parity():
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_conv3d_timestack_parity():
+    """The TPU stem path (temporal taps folded into conv2d channels) is the
+    same MACs as conv3d — exact in f32, gradients included."""
+    import jax
+
+    x = RNG.standard_normal((2, 9, 12, 12, 1), dtype=np.float32)
+    tconv = torch.nn.Conv3d(1, 4, (5, 7, 7), stride=(1, 2, 2), padding=(2, 3, 3), bias=False)
+    ref = tconv(_t(x).permute(0, 4, 1, 2, 3)).permute(0, 2, 3, 4, 1).detach().numpy()
+    w = tconv.weight.detach().numpy().transpose(2, 3, 4, 1, 0)
+    out = np.asarray(ops.conv3d_timestack(jnp.asarray(x), jnp.asarray(w),
+                                          stride=(1, 2, 2), padding=(2, 3, 3)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    # with bias + Cin=2, and gradient parity vs the direct conv3d path
+    x2 = jnp.asarray(RNG.standard_normal((1, 6, 10, 10, 2), dtype=np.float32))
+    w2 = jnp.asarray(0.1 * RNG.standard_normal((3, 3, 3, 2, 4), dtype=np.float32))
+    b2 = jnp.asarray(RNG.standard_normal(4, dtype=np.float32))
+    args = (x2, w2, b2)
+    f_direct = lambda *a: jnp.sum(  # noqa: E731
+        ops.conv3d(*a, stride=(1, 1, 1), padding=(1, 1, 1)) ** 2)
+    f_stack = lambda *a: jnp.sum(  # noqa: E731
+        ops.conv3d_timestack(*a, stride=(1, 1, 1), padding=(1, 1, 1)) ** 2)
+    np.testing.assert_allclose(np.asarray(f_stack(*args)), np.asarray(f_direct(*args)), rtol=1e-5)
+    g_d = jax.grad(f_direct, argnums=(0, 1, 2))(*args)
+    g_s = jax.grad(f_stack, argnums=(0, 1, 2))(*args)
+    for gd, gs in zip(g_d, g_s):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), atol=2e-4)
+
+
 def test_conv_transpose1d_parity():
     # the vocoder's 5 upsample stages: (rate, kernel) pairs from multi_input.json
     for stride, k in [(5, 11), (4, 8), (2, 4), (2, 4), (2, 4)]:
