@@ -131,16 +131,19 @@ class Conv3d(nn.Module):
     kernel_init: Callable | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, timestack_ok: bool = True):
         in_dim = x.shape[-1]
         kt, kh, kw = self.kernel_size
         fan_in = in_dim * kt * kh * kw
         kinit = self.kernel_init or torch_uniform_init(fan_in)
         w = self.param("weight", kinit, (kt, kh, kw, in_dim, self.features))
         b = self.param("bias", torch_uniform_init(fan_in), (self.features,)) if self.use_bias else None
-        if self.stride[0] == 1 and in_dim * kt <= 16:
+        if timestack_ok and self.stride[0] == 1 and in_dim * kt <= 16:
             # thin-channel stem: fold temporal taps into conv2d channels
-            # (ops.conv3d_timestack — 4.2x on TPU for the Cin=1 ResNet stem)
+            # (ops.conv3d_timestack — 4.2x on TPU for the Cin=1 ResNet stem).
+            # Callers pass timestack_ok=False when the stem is TRAINED: the
+            # kt-x materialized stack is saved for the backward and OOMs the
+            # recipe step (b6 x T600), and the bwd-input conv is no faster.
             return ops.conv3d_timestack(x, w, b, self.stride, self.padding)
         return ops.conv3d(x, w, b, self.stride, self.padding)
 
