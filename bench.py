@@ -178,8 +178,13 @@ def _train_step_stage1_recipe(details, iters=3):
             batch_dev = jax.device_put(batch)
             details["stage1_flash_active"] = bool(flash_active)
             details["stage1_recipe_config"] = f"accum8 x b{b} x T600 uint8"
+            # XLA cost analysis counts the accum lax.scan body ONCE — scale
+            # by update_freq or the MFU under-reports 8x (measured: the
+            # accum-1 step's flops = exactly 1/8 of the real accum-8 work)
             flops = _step_cost_flops(step, state, batch_dev,
                                      jax.random.PRNGKey(1))
+            if flops:
+                flops *= 8
             # transfer-inclusive cold call first (also the warmup/compile)
             import time as _time
 

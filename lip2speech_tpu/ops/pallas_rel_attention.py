@@ -137,14 +137,17 @@ def _kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref,
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        kj = kb * block_k
+        kj = pl.multiple_of(kb * block_k, block_k)
         k_blk = k_ref[0, pl.ds(kj, block_k), :]
         v_blk = v_ref[0, pl.ds(kj, block_k), :]
         mask_blk = mask_ref[0, 0, pl.ds(kj, block_k)]
 
         # p_ref is the +1-junk-row padded table: rows [s, s+bq+bk) cover the
-        # original [s-1, s+bq+bk-1); column 0 of g is never read
-        s_start = t - qi - bq + kj
+        # original [s-1, s+bq+bk-1); column 0 of g is never read.
+        # multiple_of: every term is a block multiple, but the value flows
+        # through the fori_loop carry and Mosaic's alignment prover gives up
+        # on it under bf16 tiling ("index in dimension 1 is a multiple of 8")
+        s_start = pl.multiple_of(t - qi - bq + kj, block_k)
         p_slice = p_ref[0, pl.ds(s_start, bq + block_k), :]
         s = _scores_block(qu, qv, k_blk, p_slice, mask_blk, scale, block_k)
 
@@ -192,7 +195,7 @@ def _bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref,
     dp_ref[0, :, :] = jnp.zeros_like(dp_ref[0, :, :])
 
     def q_body(qb, _):
-        qi = qb * block_q
+        qi = pl.multiple_of(qb * block_q, block_q)
         qu = qu_ref[0, pl.ds(qi, block_q), :]
         qv = qv_ref[0, pl.ds(qi, block_q), :]
         do_blk = do_ref[0, pl.ds(qi, block_q), :].astype(jnp.float32)
@@ -207,11 +210,12 @@ def _bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref,
 
         def k_body(kb, carry):
             dqu_acc, dqv_acc = carry
-            kj = kb * block_k
+            kj = pl.multiple_of(kb * block_k, block_k)
             k_blk = k_ref[0, pl.ds(kj, block_k), :]
             v_blk = v_ref[0, pl.ds(kj, block_k), :]
             mask_blk = mask_ref[0, 0, pl.ds(kj, block_k)]
-            s_start = t - qi - block_q + kj
+            # multiple_of: see the forward kernel's note on the band offset
+            s_start = pl.multiple_of(t - qi - block_q + kj, block_k)
             p_slice = p_ref[0, pl.ds(s_start, block_q + block_k), :]
 
             s = _scores_block(qu, qv, k_blk, p_slice, mask_blk, scale,
