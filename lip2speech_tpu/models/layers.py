@@ -7,6 +7,7 @@ converted checkpoints overwrite them anyway.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Sequence
 
 import flax.linen as nn
@@ -131,20 +132,24 @@ class Conv3d(nn.Module):
     kernel_init: Callable | None = None
 
     @nn.compact
-    def __call__(self, x, timestack_ok: bool = True):
+    def __call__(self, x):
         in_dim = x.shape[-1]
         kt, kh, kw = self.kernel_size
         fan_in = in_dim * kt * kh * kw
         kinit = self.kernel_init or torch_uniform_init(fan_in)
         w = self.param("weight", kinit, (kt, kh, kw, in_dim, self.features))
         b = self.param("bias", torch_uniform_init(fan_in), (self.features,)) if self.use_bias else None
-        if timestack_ok and self.stride[0] == 1 and in_dim * kt <= 16:
-            # thin-channel stem: fold temporal taps into conv2d channels
-            # (ops.conv3d_timestack — 4.2x on TPU for the Cin=1 ResNet stem).
-            # Callers pass timestack_ok=False when the stem is TRAINED: the
-            # kt-x materialized stack is saved for the backward and OOMs the
-            # recipe step (b6 x T600), and the bwd-input conv is no faster.
-            return ops.conv3d_timestack(x, w, b, self.stride, self.padding)
+        if self.stride[0] == 1 and in_dim * kt <= 16:
+            # Thin-channel stem: fold temporal taps into conv2d channels
+            # (ops.conv3d_timestack). Measured on TPU v5e at train shapes
+            # (b3 x T600 f32): fwd 19.2 -> 3.7 ms; BACKWARD 437 -> 19 ms —
+            # XLA's conv3d dgrad/wgrad with Cin=1 is pathological. The
+            # jax.checkpoint rematerializes the kt-x stacked input in the
+            # backward instead of storing it (storing it OOMed the b6 x T600
+            # recipe step); under inference it is a no-op.
+            fn = jax.checkpoint(functools.partial(
+                ops.conv3d_timestack, stride=self.stride, padding=self.padding))
+            return fn(x, w, b)
         return ops.conv3d(x, w, b, self.stride, self.padding)
 
 

@@ -76,9 +76,8 @@ class ResNet3DFrontend(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, t = x.shape[0], x.shape[1]
-        # timestack only when the stem is not being trained (see Conv3d note)
         x = Conv3d(64, (5, 7, 7), (1, 2, 2), (2, 3, 3), use_bias=False,
-                   name="stem_conv")(x, timestack_ok=not train)
+                   name="stem_conv")(x)
         x = BatchNorm(64, name="stem_bn")(x, train)
         x = _act(self.relu_type, 64, "act")(x)
         x = ops.max_pool3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))

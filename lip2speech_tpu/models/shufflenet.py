@@ -101,7 +101,7 @@ class ShuffleNet3DFrontend(nn.Module):
     def __call__(self, x, train: bool = False):
         b, t = x.shape[0], x.shape[1]
         x = Conv3d(24, (5, 7, 7), (1, 2, 2), (2, 3, 3), use_bias=False,
-                   name="stem_conv")(x, timestack_ok=not train)
+                   name="stem_conv")(x)
         x = BatchNorm(24, name="stem_bn")(x, train)
         x = ops.swish(x) if self.relu_type == "swish" else jax.nn.relu(x)
         x = ops.max_pool3d(x, (1, 3, 3), (1, 2, 2), (0, 1, 1))
