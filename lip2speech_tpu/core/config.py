@@ -168,6 +168,10 @@ class VocoderConfig:
     # output-time-folded matmuls with >=128 MXU lanes (ops/fold_conv.py).
     # Numerically exact; off by default to keep training graphs identical.
     mxu_fold: bool = False
+    # keep the small-channel tail (ch <= 64) in a folded (T/F, F*C = 128)
+    # layout: XLA pads thin minor dims to 128 lanes, so the unfolded tail
+    # moves 8x/4x/2x the bytes in every op (NOTES r3 late profile). Exact.
+    fold_tail: bool = True
 
     @property
     def total_upsample(self) -> int:

@@ -58,7 +58,12 @@ class WNConv1d(nn.Module):
     """Weight-normed Conv1d (torch weight_norm(Conv1d(...))).
 
     fold > 1 computes the conv as an output-time-folded matmul
-    (ops/fold_conv.py, exact) — same params, MXU-shaped compute."""
+    (ops/fold_conv.py, exact) — same params, MXU-shaped compute.
+
+    gfold > 1 means the INPUT IS FOLDED (B, T/gfold, gfold*C) and the output
+    stays folded: the G-block form (fold_conv1d_gblock) that keeps the
+    small-channel tail packed in 128 lanes (see ops/fold_conv.py notes).
+    Parameter shapes are identical to the unfolded conv."""
 
     features: int
     kernel_size: int
@@ -68,17 +73,24 @@ class WNConv1d(nn.Module):
     groups: int = 1
     init_std: float | None = 0.01  # HiFi-GAN init_weights(mean=0, std=0.01)
     fold: int = 1
+    gfold: int = 1
 
     @nn.compact
     def __call__(self, x):
         in_dim = x.shape[-1]
+        if self.gfold > 1:
+            assert self.stride == 1 and self.groups == 1
+            in_dim //= self.gfold
         fan_in = (in_dim // self.groups) * self.kernel_size
         w = _wn_weight(self, (self.kernel_size, in_dim // self.groups, self.features),
                        fan_in, self.init_std)
         b = self.param("bias", torch_uniform_init(fan_in), (self.features,))
-        if self.fold > 1 and self.stride == 1 and self.groups == 1:
-            from lip2speech_tpu.ops import fold_conv as fc
+        from lip2speech_tpu.ops import fold_conv as fc
 
+        if self.gfold > 1:
+            return fc.fold_conv1d_gblock(x, w, b, self.padding, self.dilation,
+                                         self.gfold)
+        if self.fold > 1 and self.stride == 1 and self.groups == 1:
             return fc.fold_conv1d(x, w, b, self.padding, self.dilation,
                                   self.fold)
         return ops.conv1d(x, w, b, self.stride, self.padding, self.dilation, self.groups)
@@ -177,12 +189,16 @@ class SpectralOrWNConv1d(nn.Module):
 
 
 class ResBlock1(nn.Module):
-    """HiFi-GAN ResBlock1: 3x [lrelu->dilated conv->lrelu->conv] residual pairs."""
+    """HiFi-GAN ResBlock1: 3x [lrelu->dilated conv->lrelu->conv] residual pairs.
+
+    gfold > 1: input/output are folded (B, T/gfold, gfold*channels); all
+    elementwise ops run on the packed layout, convs use the G-block form."""
 
     channels: int
     kernel_size: int
     dilations: Sequence[int] = (1, 3, 5)
     fold: int = 1
+    gfold: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -191,10 +207,10 @@ class ResBlock1(nn.Module):
             pad2 = (self.kernel_size - 1) // 2
             xt = ops.leaky_relu(x, LRELU_SLOPE)
             xt = WNConv1d(self.channels, self.kernel_size, padding=pad1, dilation=d,
-                          fold=self.fold, name=f"convs1_{i}")(xt)
+                          fold=self.fold, gfold=self.gfold, name=f"convs1_{i}")(xt)
             xt = ops.leaky_relu(xt, LRELU_SLOPE)
             xt = WNConv1d(self.channels, self.kernel_size, padding=pad2, dilation=1,
-                          fold=self.fold, name=f"convs2_{i}")(xt)
+                          fold=self.fold, gfold=self.gfold, name=f"convs2_{i}")(xt)
             x = xt + x
         return x
 
@@ -218,24 +234,39 @@ class HiFiGANGenerator(nn.Module):
 
             return pick_fold(ch, t_len)
 
+        from lip2speech_tpu.ops import fold_conv as fc
+
+        cur_f = 1  # current folded factor of x (1 = plain (B, T, C) layout)
         for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
             ch = h.upsample_initial_channel // (2 ** (i + 1))
-            t_out = x.shape[1] * u
+            t_out = x.shape[1] * cur_f * u
             f = stage_fold(ch, t_out)
-            x = ops.leaky_relu(x, LRELU_SLOPE)
+            gf = 128 // ch if (h.fold_tail and 128 // ch >= 2
+                               and t_out % (128 // ch) == 0) else 1
+            x = ops.leaky_relu(x, LRELU_SLOPE)       # packed when folded
+            if cur_f > 1:
+                x = fc.unfold_time(x, cur_f)
             # the transpose's own output folding spans stride*fold_in lanes
             x = WNConvTranspose1d(ch, k, u, (k - u) // 2,
                                   fold=max(1, f // u) if f > 1 else 1,
                                   name=f"ups_{i}")(x)
+            if gf > 1:
+                x = fc.fold_time(x, gf)
             acc = None
             for j, (rk, rd) in enumerate(zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)):
-                y = ResBlock1(ch, rk, tuple(rd), fold=f,
+                y = ResBlock1(ch, rk, tuple(rd), fold=f, gfold=gf,
                               name=f"resblocks_{i * num_kernels + j}")(x)
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
+            cur_f = gf
         x = ops.leaky_relu(x, 0.01)  # torch F.leaky_relu default slope here
-        x = WNConv1d(1, 7, padding=3, fold=stage_fold(1, x.shape[1]),
-                     name="conv_post")(x)
+        if cur_f > 1:
+            # conv_post stays folded: (B, M, cur_f*1) -> (B, T, 1)
+            x = WNConv1d(1, 7, padding=3, gfold=cur_f, name="conv_post")(x)
+            x = fc.unfold_time(x, cur_f)
+        else:
+            x = WNConv1d(1, 7, padding=3, fold=stage_fold(1, x.shape[1]),
+                         name="conv_post")(x)
         return jnp.tanh(x)[..., 0]
 
 

@@ -132,6 +132,96 @@ def fold_conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,
     return y if b is None else y + b
 
 
+# ---------------------------------------------------------------------------
+# Folded-layout ("G-block") tail: the measured-win formulation.
+#
+# The r3 profile showed the tail's real problem is LAYOUT, not lanes: XLA
+# pads a (B, T, 16) bf16 minor dim 16 -> 128, so every elementwise op and
+# conv in the 16/32-channel stages moves 8x/4x the bytes (the isolated convs
+# are fast — 0.49 ms for ch16 k11 d5 T=153600 — but each stage trio measured
+# 7-12 ms, i.e. bandwidth on padded activations). Fix: keep the tail in a
+# folded (B, T/F, F*C = 128) layout END TO END. Elementwise ops (lrelu,
+# residual adds, mean) are identical on folded data; a stride-1 dilated conv
+# becomes y_f = sum_g shift_g(x_f) @ Wg[g] where shift_g is a ROW shift of
+# the folded tensor (cheap, lane-aligned) and Wg places tap (j, f) at row
+# block (g, u) with g*F + u = f + j*dil - pad - q0*F. Exact: the same MACs
+# plus zeros, f32-accumulated.
+# ---------------------------------------------------------------------------
+
+
+def gblock_geometry(kernel: int, dilation: int, pad: int, fold: int):
+    """(q0, G): starting row offset and number of row-shifted blocks."""
+    span = (kernel - 1) * dilation
+    q0 = -((pad + fold - 1) // fold)
+    r0 = q0 * fold + pad
+    G = ((fold - 1) + span - r0) // fold + 1
+    return q0, G
+
+
+def gblock_weights(w: jnp.ndarray, pad: int, dilation: int, fold: int) -> jnp.ndarray:
+    """(K, C, Co) conv weight -> (G, fold*C, fold*Co) block weights.
+
+    Built with a static (K*fold)-step placement loop — traced once under jit;
+    the result is a small tensor (G x 128 x 128 for the tail stages).
+    """
+    K, C, Co = w.shape
+    q0, G = gblock_geometry(K, dilation, pad, fold)
+    Wg = jnp.zeros((G, fold * C, fold * Co), w.dtype)
+    for f in range(fold):
+        for j in range(K):
+            s = f + j * dilation - pad - q0 * fold
+            g, u = divmod(s, fold)
+            Wg = Wg.at[g, u * C:(u + 1) * C, f * Co:(f + 1) * Co].add(w[j])
+    return Wg
+
+
+def fold_conv1d_gblock(xf: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None,
+                       padding: int, dilation: int, fold: int) -> jnp.ndarray:
+    """Length-preserving stride-1 conv on FOLDED input.
+
+    xf: (B, M, fold*C) where row m holds samples [m*fold, (m+1)*fold);
+    w: (K, C, Co). Returns folded (B, M, fold*Co). Exact (zero padding at
+    the sequence ends = zero samples, as the conv requires).
+
+    (A dilation-phase split — d streams of dilation-1 G-blocks, span (K-1)
+    instead of (K-1)d — was tried to cut the redundant-MAC factor: measured
+    2x SLOWER end-to-end on the chip because the per-conv phase transposes
+    materialize thin-minor-dim intermediates in the padded layout. Reverted;
+    the straight G-block below is the winning form.)
+    """
+    B, M, lanes = xf.shape
+    K, C, Co = w.shape
+    assert lanes == fold * C, (lanes, fold, C)
+    q0, G = gblock_geometry(K, dilation, padding, fold)
+    Wg = gblock_weights(w, padding, dilation, fold)
+    pad_rows = G + abs(q0) + 1
+    xp = jnp.pad(xf, ((0, 0), (pad_rows, pad_rows), (0, 0)))
+    acc = None
+    for g in range(G):
+        sh = jax.lax.slice_in_dim(xp, pad_rows + q0 + g,
+                                  pad_rows + q0 + g + M, axis=1)
+        t = jnp.einsum("bml,lo->bmo", sh, Wg[g],
+                       preferred_element_type=jnp.float32)
+        acc = t if acc is None else acc + t
+    y = acc.astype(xf.dtype)
+    if b is not None:
+        y = y + jnp.tile(b, fold).astype(y.dtype)
+    return y
+
+
+def fold_time(x: jnp.ndarray, fold: int) -> jnp.ndarray:
+    """(B, T, C) -> folded (B, T/fold, fold*C). Contiguous reshape."""
+    B, T, C = x.shape
+    assert T % fold == 0, (T, fold)
+    return x.reshape(B, T // fold, fold * C)
+
+
+def unfold_time(xf: jnp.ndarray, fold: int) -> jnp.ndarray:
+    """Folded (B, M, fold*C) -> (B, M*fold, C)."""
+    B, M, lanes = xf.shape
+    return xf.reshape(B, M * fold, lanes // fold)
+
+
 def pick_fold(channels: int, t_len: int, target_lanes: int = 128) -> int:
     """Fold factor bringing fold*channels to >= target MXU lanes (bounded by
     divisibility of the sequence length)."""
