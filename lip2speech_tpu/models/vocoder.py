@@ -162,6 +162,13 @@ class WNConv2d(nn.Module):
         else:
             w = _wn_weight(self, shape, fan_in, None)
         b = self.param("bias", torch_uniform_init(fan_in), (self.features,))
+        if kw == 1 and x.shape[2] == 1 and in_dim * kh <= 16:
+            # W-degenerate thin-channel conv (DiscriminatorP's first conv in
+            # the batched-period layout): timestack the kh taps into one
+            # matmul instead of a Cin=1 conv (ops.conv1d_timestack)
+            y = ops.conv1d_timestack(x[:, :, 0, :], w[:, 0], b,
+                                     self.stride[0], self.padding[0])
+            return y[:, :, None, :]
         return ops.conv2d(x, w, b, self.stride, self.padding)
 
 
@@ -185,6 +192,9 @@ class SpectralOrWNConv1d(nn.Module):
         else:
             w = _wn_weight(self, shape, fan_in, None)
         b = self.param("bias", torch_uniform_init(fan_in), (self.features,))
+        if self.groups == 1 and in_dim * self.kernel_size <= 16:
+            # MSD's first conv (Cin=1, k=15): timestack taps -> one matmul
+            return ops.conv1d_timestack(x, w, b, self.stride, self.padding)
         return ops.conv1d(x, w, b, self.stride, self.padding, 1, self.groups)
 
 
@@ -309,25 +319,39 @@ class DiscriminatorP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        """x: (B, T) -> (score (B, N), fmap list)."""
+        """x: (B, T) -> (score (B, N), fmap list).
+
+        TPU layout: every kernel here is (k, 1) — the period dim never
+        mixes — so it rides in the BATCH dim ((b*p, H, 1, C)) instead of a
+        spatial dim. The reference layout (b, H, p, C) keeps C=1..32 minor
+        dims that XLA pads to 128 lanes (measured: the discriminator
+        backward dominated the GAN step). fmaps are restored to the
+        (b, H, p, C) interface, so scores/FM losses/oracles are unchanged.
+        """
         b, t = x.shape
         p = self.period
         if t % p != 0:
             pad = p - (t % p)
             x = jnp.pad(x, ((0, 0), (0, pad)), mode="reflect")
             t = t + pad
-        x = x.reshape(b, t // p, p, 1)
+        x = (x.reshape(b, t // p, p).transpose(0, 2, 1)
+             .reshape(b * p, t // p, 1, 1))
+
+        def restore(y):
+            bp, h, _, c = y.shape
+            return y.reshape(b, p, h, c).transpose(0, 2, 1, 3)
+
         fmap = []
         for i, ch in enumerate([32, 128, 512, 1024]):
             x = WNConv2d(ch, (5, 1), (3, 1), (2, 0), name=f"convs_{i}")(x, train)
             x = ops.leaky_relu(x, LRELU_SLOPE)
-            fmap.append(x)
+            fmap.append(restore(x))
         x = WNConv2d(1024, (5, 1), (1, 1), (2, 0), name="convs_4")(x, train)
         x = ops.leaky_relu(x, LRELU_SLOPE)
-        fmap.append(x)
+        fmap.append(restore(x))
         x = WNConv2d(1, (3, 1), (1, 1), (1, 0), name="conv_post")(x, train)
-        fmap.append(x)
-        return x.reshape(b, -1), fmap
+        fmap.append(restore(x))
+        return restore(x).reshape(b, -1), fmap
 
 
 class DiscriminatorS(nn.Module):

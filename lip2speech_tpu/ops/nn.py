@@ -98,6 +98,37 @@ def conv3d(
     return out
 
 
+def conv1d_timestack(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    stride: int = 1,
+    padding: int = 0,
+) -> jnp.ndarray:
+    """conv1d for thin input channels: taps folded into a pointwise matmul.
+
+    The discriminators' first convs (Cin=1, k=5/15) hit the same XLA
+    pathology as the 3-D stem — a 1-element contraction leaves the MXU idle
+    and the activations live in a 128x lane-padded layout. Stacking the K
+    time-shifted copies as channels makes the op one (K*Cin)-deep matmul.
+    x: (B, T, Cin); w: (K, Cin, Co). Exact (same MACs).
+    """
+    B, T, Cin = x.shape
+    K, _, Co = w.shape
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+    T_out = (T + 2 * padding - K) // stride + 1
+    xs = jnp.concatenate([xp[:, u:u + T + 2 * padding - K + 1] for u in range(K)],
+                         axis=-1)
+    if stride > 1:
+        xs = xs[:, ::stride]
+    xs = xs[:, :T_out]
+    y = jnp.einsum("btk,ko->bto", xs, w.reshape(K * Cin, Co),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
 def conv3d_timestack(
     x: jnp.ndarray,
     w: jnp.ndarray,

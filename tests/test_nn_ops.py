@@ -75,6 +75,32 @@ def test_conv3d_timestack_parity():
         np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), atol=2e-4)
 
 
+def test_conv1d_timestack_parity():
+    """The discriminators' thin-channel first convs (Cin=1, k=5/15) fold
+    their taps into one matmul — exact vs conv1d, gradients included.
+    Shapes cover MSD's first conv (k15 s1 p7) and DiscriminatorP's
+    batched-period first conv (k5 s3 p2)."""
+    import jax
+
+    for cin, k, stride, pad in [(1, 15, 1, 7), (1, 5, 3, 2), (2, 5, 2, 2)]:
+        x = jnp.asarray(RNG.standard_normal((2, 53, cin), dtype=np.float32))
+        w = jnp.asarray(0.1 * RNG.standard_normal((k, cin, 12), dtype=np.float32))
+        b = jnp.asarray(RNG.standard_normal(12, dtype=np.float32))
+        ref = np.asarray(ops.conv1d(x, w, b, stride=stride, padding=pad))
+        out = np.asarray(ops.conv1d_timestack(x, w, b, stride=stride, padding=pad))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+        f_direct = lambda *a: jnp.sum(  # noqa: E731
+            ops.conv1d(*a, stride=stride, padding=pad) ** 2)
+        f_stack = lambda *a: jnp.sum(  # noqa: E731
+            ops.conv1d_timestack(*a, stride=stride, padding=pad) ** 2)
+        g_d = jax.grad(f_direct, argnums=(0, 1, 2))(x, w, b)
+        g_s = jax.grad(f_stack, argnums=(0, 1, 2))(x, w, b)
+        for gd, gs in zip(g_d, g_s):
+            np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), atol=2e-4)
+
+
 def test_conv_transpose1d_parity():
     # the vocoder's 5 upsample stages: (rate, kernel) pairs from multi_input.json
     for stride, k in [(5, 11), (4, 8), (2, 4), (2, 4), (2, 4)]:
