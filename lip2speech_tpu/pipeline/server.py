@@ -197,9 +197,10 @@ class Handler(BaseHTTPRequestHandler):
         return json.loads(raw or b"{}")
 
     def do_GET(self):
-        if self.path == "/demo":
+        if self.path in ("/demo", "/vsg"):
             port = getattr(self.state, "streaming_port", None)
-            body = DEMO_HTML.replace("__STREAM_PORT__", str(port or 0)).encode()
+            page = DEMO_HTML if self.path == "/demo" else VSG_HTML
+            body = page.replace("__STREAM_PORT__", str(port or 0)).encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
             self.send_header("Content-Length", str(len(body)))
@@ -368,6 +369,20 @@ class Handler(BaseHTTPRequestHandler):
 
         out: dict = {"sample_rate": 16000, "num_samples": int(len(wav)),
                      "elapsed_s": round(elapsed, 4)}
+        if long_video and body.get("email"):
+            # VSG completion notification (reference vsg_service.py:126-135);
+            # best-effort — SMTP creds come from EMAIL_* env vars
+            from lip2speech_tpu.utils.email_client import send_email
+
+            try:
+                out["email_sent"] = send_email(
+                    "VSG synthesis complete",
+                    f"Your {len(frames) / FPS:.1f}s video was synthesised "
+                    f"in {elapsed:.1f}s ({len(wav)} samples).",
+                    receivers=[body["email"]])
+            except Exception as e:  # noqa: BLE001 — notify must not fail the request
+                out["email_sent"] = False
+                out["email_error"] = str(e)
         if body.get("output_path"):
             write_wav(body["output_path"], wav, 16000)
             out["output_path"] = body["output_path"]
@@ -468,6 +483,55 @@ function pcm16ToWav(b,rate){
   dv.setUint16(32,2,true);dv.setUint16(34,16,true);w(36,'data');
   dv.setUint32(40,pcm.length,true);
   return new Blob([h,pcm],{type:'audio/wav'});
+}
+</script></body></html>"""
+
+# VSG long-video page (reference templates/vsg.html): chunked upload of a
+# large video (1 MB chunks, the reference's Dropzone chunkSize) to /dzupload,
+# then POST /vsg/synthesise with the upload id + optional email notify.
+VSG_HTML = """<!doctype html>
+<html><head><title>lip2speech-tpu VSG</title><style>
+body{font-family:sans-serif;max-width:640px;margin:2em auto}
+input{width:100%;margin:4px 0;padding:6px}button{padding:8px 16px}
+progress{width:100%}
+</style></head><body>
+<h2>Video-to-speech generation (long videos)</h2>
+<ul><li>Upload a silent video (chunked, any length up to the server cap)</li>
+<li>It is synthesised in &le;23.5 s segments and concatenated</li>
+<li>Optionally get an email when it completes</li></ul>
+<input id="file" type="file" accept="video/*,.npy">
+<input id="email" type="email" placeholder="Email (optional)">
+<button onclick="go()">Upload &amp; synthesise</button>
+<progress id="prog" value="0" max="1"></progress>
+<p id="status"></p><audio id="player" controls></audio>
+<script>
+const CHUNK=1000000;  // 1 MB, reference vsg.html chunkSize
+async function go(){
+  const f=document.getElementById('file').files[0];
+  const st=document.getElementById('status');
+  if(!f){st.textContent='choose a file first';return;}
+  const id=Math.random().toString(36).slice(2,10);
+  const total=Math.ceil(f.size/CHUNK);
+  for(let i=0;i<total;i++){
+    const off=i*CHUNK, blob=f.slice(off,off+CHUNK);
+    const q='/dzupload?id='+id+'&filename='+encodeURIComponent(f.name)+
+      '&dzchunkbyteoffset='+off+'&dzchunkindex='+i+
+      '&dztotalchunkcount='+total+'&dztotalfilesize='+f.size;
+    const r=await fetch(q,{method:'POST',body:blob});
+    if(!r.ok){st.textContent='upload error: '+(await r.json()).error;return;}
+    document.getElementById('prog').value=(i+1)/total;
+  }
+  st.textContent='synthesising...';
+  const body={upload_id:id};
+  const em=document.getElementById('email').value; if(em) body.email=em;
+  const r=await fetch('/vsg/synthesise',{method:'POST',body:JSON.stringify(body)});
+  const j=await r.json();
+  if(!r.ok){st.textContent='error: '+j.error;return;}
+  st.textContent=j.num_samples+' samples in '+j.elapsed_s+'s'+
+    (j.email_sent?' (email sent)':'');
+  const wav=Uint8Array.from(atob(j.wav_base64),c=>c.charCodeAt(0));
+  document.getElementById('player').src=
+    URL.createObjectURL(new Blob([wav],{type:'audio/wav'}));
 }
 </script></body></html>"""
 

@@ -119,6 +119,51 @@ def test_bad_upload_ids(server):
     assert code == 400  # unknown upload id is client error
 
 
+def test_vsg_page_and_email_notify(server, tmp_path, monkeypatch):
+    """GET /vsg serves the chunked-upload page (reference templates/vsg.html);
+    /vsg/synthesise with an email field attempts the completion notification
+    (reference vsg_service.py:126-135) without failing the request."""
+    conn = HTTPConnection("127.0.0.1", server.server_address[1], timeout=60)
+    conn.request("GET", "/vsg")
+    resp = conn.getresponse()
+    page = resp.read().decode()
+    assert resp.status == 200
+    assert "/dzupload" in page and "/vsg/synthesise" in page
+    assert "dzchunkbyteoffset" in page  # chunking fields wired
+
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 256, (8, 96, 96), dtype=np.uint8)
+    clip = tmp_path / "c3.npy"
+    np.save(clip, frames)
+    blob = clip.read_bytes()
+    conn = HTTPConnection("127.0.0.1", server.server_address[1], timeout=60)
+    conn.request("POST",
+                 f"/dzupload?id=upl6&filename=c3.npy&dztotalfilesize={len(blob)}",
+                 blob, {"Content-Type": "application/octet-stream"})
+    assert conn.getresponse().status == 200
+
+    sent = {}
+
+    def fake_send(subject, body, receivers=None, **kw):
+        sent["receivers"] = receivers
+        return True
+
+    from lip2speech_tpu.utils import email_client
+
+    monkeypatch.setattr(email_client, "send_email", fake_send)
+    code, out = _req(server, "POST", "/vsg/synthesise",
+                     {"upload_id": "upl6", "email": "user@example.com"})
+    assert code == 200, out
+    assert out["email_sent"] is True
+    assert sent["receivers"] == ["user@example.com"]
+
+    # without SMTP creds the real sender declines without failing the request
+    monkeypatch.undo()
+    code, out = _req(server, "POST", "/vsg/synthesise",
+                     {"upload_id": "upl6", "email": "user@example.com"})
+    assert code == 200 and out["email_sent"] is False
+
+
 def test_raw_binary_convenience_mode(server, tmp_path):
     rng = np.random.default_rng(1)
     frames = rng.integers(0, 256, (8, 96, 96), dtype=np.uint8)
