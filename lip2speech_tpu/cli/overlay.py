@@ -1,8 +1,12 @@
 """Overlay predicted audio onto source videos (listening copies).
 
-Rebuild of reference overlay.py:12-71. Muxing needs ffmpeg (not in this
-image); when absent, the tool still pairs predictions with videos and writes
-a manifest of (video, wav) pairs so any muxer can finish the job.
+Rebuild of reference overlay.py:12-71 with both its debug options:
+--landmarks-dir draws the per-frame landmarks onto the video (reference
+helpers.debug_video, in-image via cv2), --denoise-and-normalise runs the
+in-process normalize->spectral-gate->normalize chain (reference
+preprocess_audio) on each wav. Muxing needs ffmpeg (not in this image);
+when absent, the tool still writes the debug videos / cleaned wavs and a
+manifest of (video, wav) pairs so any muxer can finish the job.
 """
 
 from __future__ import annotations
@@ -13,9 +17,49 @@ import shutil
 import subprocess
 from pathlib import Path
 
+import numpy as np
+
 
 def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
+
+
+def draw_landmarks_video(video_path: Path, landmarks_path: Path,
+                         out_path: Path, fps: float = 25.0) -> bool:
+    """Debug copy of the video with landmark dots (reference helpers.py
+    debug_video / overlay.py:37-43). Returns False if cv2 can't decode."""
+    try:
+        import cv2
+    except ImportError:
+        return False
+    if not hasattr(cv2, "VideoCapture"):  # bare namespace package hazard
+        return False
+    from lip2speech_tpu.pipeline.landmarks import PrecomputedLandmarks
+
+    cap = cv2.VideoCapture(str(video_path))
+    if not cap.isOpened():
+        return False
+    frames = []
+    ok, frame = cap.read()
+    while ok:
+        frames.append(frame)
+        ok, frame = cap.read()
+    cap.release()
+    if not frames:
+        return False
+    lms = PrecomputedLandmarks(landmarks_path).load()
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    h, w = frames[0].shape[:2]
+    writer = cv2.VideoWriter(str(out_path),
+                             cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for frame, lm in zip(frames, lms):
+        if lm is not None:
+            for x, y in np.asarray(lm, np.float64).reshape(-1, 2):
+                cv2.circle(frame, (int(round(x)), int(round(y))), 2,
+                           (0, 255, 0), -1)
+        writer.write(frame)
+    writer.release()
+    return out_path.exists() and out_path.stat().st_size > 0
 
 
 def overlay_audio(video_path: Path, wav_path: Path, out_path: Path) -> bool:
@@ -32,10 +76,23 @@ def overlay_audio(video_path: Path, wav_path: Path, out_path: Path) -> bool:
 
 
 def main():
+    # host-side tool (like the reference's): the denoise chain is a few STFTs,
+    # not worth attaching a TPU for — and must not stall when no device is up
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # a backend is already initialized (e.g. called from tests)
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--video-dir", required=True)
     p.add_argument("--pred-wav-dir", required=True)
     p.add_argument("--out-dir", required=True)
+    p.add_argument("--landmarks-dir",
+                   help="draw <name>.pkl/.npy landmarks onto each video")
+    p.add_argument("--denoise-and-normalise", action="store_true",
+                   help="clean each wav in-process before muxing")
     args = p.parse_args()
 
     video_dir = Path(args.video_dir)
@@ -53,8 +110,29 @@ def main():
                 break
         else:
             continue
+        entry = {"video": str(video), "wav": str(wav)}
+        if args.landmarks_dir:
+            for lext in (".pkl", ".npy"):
+                lm = Path(args.landmarks_dir) / rel.parent / (rel.name + lext)
+                if lm.exists():
+                    debug = out_dir / rel.parent / (rel.name + "_landmarks.mp4")
+                    if draw_landmarks_video(video, lm, debug):
+                        video = debug          # mux onto the debug copy
+                        entry["landmarks_video"] = str(debug)
+                    break
+        if args.denoise_and_normalise:
+            from lip2speech_tpu.ops.denoise import preprocess_audio
+            from lip2speech_tpu.utils.audio_io import read_wav, write_wav
+
+            raw, sr = read_wav(wav)
+            clean = out_dir / rel.parent / (rel.name + "_denoised.wav")
+            clean.parent.mkdir(parents=True, exist_ok=True)
+            write_wav(clean, preprocess_audio(raw), sr)
+            wav = clean
+            entry["denoised_wav"] = str(clean)
         out = out_dir / rel.parent / (rel.name + "_overlay.mp4")
-        pairs.append({"video": str(video), "wav": str(wav), "out": str(out)})
+        entry["out"] = str(out)
+        pairs.append(entry)
         if overlay_audio(video, wav, out):
             muxed += 1
 

@@ -55,3 +55,54 @@ def test_overlay_pairing(tmp_path, monkeypatch, capsys):
     assert out["pairs"] == 1               # orphan has no matching video
     manifest = json.loads((tmp_path / "out/overlay_manifest.json").read_text())
     assert manifest[0]["video"].endswith("clip1.mp4")
+
+
+def test_overlay_landmarks_and_denoise(tmp_path, monkeypatch, capsys):
+    """--landmarks-dir draws a debug video (reference helpers.debug_video via
+    overlay.py:37-43); --denoise-and-normalise cleans the wav in-process
+    (reference overlay.py:46-53). Both run fully in-image (cv2 + ops.denoise);
+    muxing itself stays gated on ffmpeg."""
+    import sys
+
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    if not hasattr(cv2, "VideoWriter"):
+        pytest.skip("cv2 is a bare namespace package here")
+
+    from lip2speech_tpu.utils.audio_io import write_wav
+
+    video_dir = tmp_path / "videos"
+    wav_dir = tmp_path / "wavs"
+    lm_dir = tmp_path / "landmarks"
+    for d in (video_dir, wav_dir, lm_dir):
+        d.mkdir()
+    rng = np.random.default_rng(0)
+    writer = cv2.VideoWriter(str(video_dir / "clip1.mp4"),
+                             cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 48))
+    for _ in range(6):
+        writer.write(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8))
+    writer.release()
+    if not (video_dir / "clip1.mp4").stat().st_size:
+        pytest.skip("cv2 built without an mp4 encoder")
+    write_wav(wav_dir / "clip1.wav", rng.standard_normal(1600) * 0.1, 16000)
+    lms = np.stack([np.tile([[10.0, 10.0]], (68, 1)) + i for i in range(6)])
+    np.save(lm_dir / "clip1.npy", lms)
+
+    monkeypatch.setattr(sys, "argv", [
+        "overlay", "--video-dir", str(video_dir),
+        "--pred-wav-dir", str(wav_dir), "--out-dir", str(tmp_path / "out"),
+        "--landmarks-dir", str(lm_dir), "--denoise-and-normalise"])
+    overlay_main()
+    manifest = json.loads((tmp_path / "out/overlay_manifest.json").read_text())
+    assert manifest[0]["landmarks_video"].endswith("clip1_landmarks.mp4")
+    assert manifest[0]["denoised_wav"].endswith("clip1_denoised.wav")
+
+    from lip2speech_tpu.data.video_io import load_video_gray
+    from lip2speech_tpu.utils.audio_io import read_wav
+
+    debug = load_video_gray(manifest[0]["landmarks_video"])
+    assert debug.shape == (6, 48, 64)
+    clean, sr = read_wav(manifest[0]["denoised_wav"])
+    assert sr == 16000 and np.isfinite(clean).all()
+    assert np.abs(clean).max() <= 1.0
