@@ -57,7 +57,9 @@ class ServerState:
                  speaker_params: dict | None = None,
                  use_batcher: bool = False, max_batch: int = 8,
                  max_wait_ms: float = 10.0, postprocess: bool = False,
-                 inputs_dir: str | None = None):
+                 inputs_dir: str | None = None,
+                 default_audio_dir: str | None = None,
+                 asr=None):
         self.pipelines = pipelines
         self.active = active
         self.db = DB(db_path)
@@ -77,6 +79,27 @@ class ServerState:
         # optional output post-processing: denoise + normalize every
         # synthesized waveform (reference server.py:316 rnnoise chain)
         self.postprocess = postprocess
+        # default speaker-voice library (reference default_audios_list /
+        # /audios + `aid` param, server.py:515-517): name -> 256-d embedding.
+        # .npy files are precomputed embeddings; .wav files are embedded at
+        # startup when the in-process GE2E encoder is available.
+        self.default_audios: dict[str, np.ndarray] = {}
+        if default_audio_dir:
+            for f in sorted(Path(default_audio_dir).glob("*.npy")):
+                self.default_audios[f.stem] = np.load(f).astype(np.float32)
+            if speaker_params is not None:
+                from lip2speech_tpu.models.speaker import embed_utterance
+                from lip2speech_tpu.utils.audio_io import read_wav
+
+                for f in sorted(Path(default_audio_dir).glob("*.wav")):
+                    wav, sr = read_wav(f)
+                    if wav.ndim > 1:
+                        wav = wav.mean(axis=1)
+                    self.default_audios[f.stem] = embed_utterance(
+                        speaker_params, wav, sr)
+        # optional Whisper ASR readback (reference server.py:341); None when
+        # local weights are absent (zero-egress) — degrades gracefully
+        self.asr = asr
         # optional dynamic batching: concurrent requests coalesce into one
         # device call instead of serializing behind the lock
         self.batchers: dict[str, "object"] = {}
@@ -96,15 +119,21 @@ class ServerState:
 
 
 def _synthesise_frames(state: ServerState, frames: np.ndarray,
-                       spk_emb: np.ndarray) -> np.ndarray:
-    """(T, H, W) uint8 pre-cropped mouth frames -> float32 wav."""
+                       spk_emb: np.ndarray, cid: str | None = None) -> np.ndarray:
+    """(T, H, W) uint8 pre-cropped mouth frames -> float32 wav.
+
+    cid selects a loaded checkpoint for THIS request (reference `?cid=`,
+    server.py:494); None uses the active one."""
     from lip2speech_tpu.data.stage1 import pick_bucket
     from lip2speech_tpu.data.transforms import prepare_video
 
-    cfg = state.pipeline.cfg
+    name = cid or state.active
+    pipeline = state.pipelines[name]
+    batcher = state.batchers.get(name)
+    cfg = pipeline.cfg
     frames = frames[: int(MAX_DURATION_S * FPS)]
-    if state.batcher is not None:
-        res = state.batcher.synthesise(frames, spk_emb)
+    if batcher is not None:
+        res = batcher.synthesise(frames, spk_emb)
         return _postprocess(state, res.wav)
     video = prepare_video(frames, cfg.video.mouth_size, train=False)
     n = video.shape[0]
@@ -113,7 +142,7 @@ def _synthesise_frames(state: ServerState, frames: np.ndarray,
     vb[0, :n, :, :, 0] = video
     mask = np.zeros((1, t), bool)
     mask[0, :n] = True
-    res = state.pipeline.synthesise_batch(vb, mask, spk_emb[None].astype(np.float32))
+    res = pipeline.synthesise_batch(vb, mask, spk_emb[None].astype(np.float32))
     return _postprocess(state, res[0].wav)
 
 
@@ -126,7 +155,7 @@ def _postprocess(state: ServerState, wav: np.ndarray) -> np.ndarray:
 
 
 def synthesise_long_video(state: ServerState, frames: np.ndarray,
-                          spk_emb: np.ndarray) -> np.ndarray:
+                          spk_emb: np.ndarray, cid: str | None = None) -> np.ndarray:
     """VSG path: split into <= 23.5 s segments, synthesize each, concatenate."""
     seg_frames = int(MAX_SEGMENT_S * FPS)
     wavs = []
@@ -134,7 +163,7 @@ def synthesise_long_video(state: ServerState, frames: np.ndarray,
         chunk = frames[i : i + seg_frames]
         if len(chunk) == 0:
             break
-        wavs.append(_synthesise_frames(state, chunk, spk_emb))
+        wavs.append(_synthesise_frames(state, chunk, spk_emb, cid))
     return np.concatenate(wavs) if wavs else np.zeros(0, np.float32)
 
 
@@ -215,6 +244,9 @@ class Handler(BaseHTTPRequestHandler):
         elif self.path == "/checkpoints":
             self._json(200, {"checkpoints": sorted(self.state.pipelines),
                              "active": self.state.active})
+        elif self.path == "/audios":
+            # default speaker-voice library (reference server.py:515-517)
+            self._json(200, {"audios": sorted(self.state.default_audios)})
         elif self.path == "/stats":
             self._json(200, {"usage_count": self.state.db.usage_count()})
         else:
@@ -232,7 +264,7 @@ class Handler(BaseHTTPRequestHandler):
                 with self.state.lock:
                     self.state.active = name
                 self._json(200, {"active": name})
-            elif self.path in ("/synthesise", "/vsg/synthesise"):
+            elif self.path.split("?")[0] in ("/synthesise", "/vsg/synthesise"):
                 self._handle_synthesise(long_video=self.path.startswith("/vsg"))
             elif self.path.split("?")[0] == "/dzupload":
                 self._handle_dzupload()
@@ -303,9 +335,46 @@ class Handler(BaseHTTPRequestHandler):
         return str(cands[0])
 
     def _handle_synthesise(self, long_video: bool):
+        from urllib.parse import parse_qs, urlparse
+
         from lip2speech_tpu.data.video_io import load_video_gray
 
-        body = self._read_body()
+        # request options ride the query string exactly like the reference
+        # (?cid=&aid=&close_up=&asr=&log=, server.py:494-508)
+        q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+        ctype = self.headers.get("Content-Type", "")
+        uploaded_audio = None
+        if "multipart/form-data" in ctype:
+            # direct file upload (reference server.py:490-498): required
+            # `video` part, optional `audio` part for the speaker voice
+            length = int(self.headers.get("Content-Length", 0))
+            if length > MAX_CHUNK_BYTES:
+                self._json(413, {"error": f"upload exceeds {MAX_CHUNK_BYTES} "
+                                          f"bytes; use /dzupload"})
+                return
+            fields, files = _parse_multipart(self.rfile.read(length), ctype)
+            if "video" not in files:
+                self._json(400, {"error": "no `video` part in upload"})
+                return
+            import uuid
+
+            uid = uuid.uuid4().hex
+            vname, vbytes = files["video"]
+            vpath = self.state.inputs_dir / f"{uid}{Path(vname).suffix or '.mp4'}"
+            vpath.write_bytes(vbytes)
+            body: dict = dict(fields)
+            body["video_path"] = str(vpath)
+            if "audio" in files:
+                apath = self.state.inputs_dir / f"{uid}.wav"
+                apath.write_bytes(files["audio"][1])
+                uploaded_audio = apath
+        else:
+            body = self._read_body()
+        cid = q.get("cid") or body.get("cid")
+        if cid is not None and cid not in self.state.pipelines:
+            self._json(400, {"error": f"unknown checkpoint {cid!r}",
+                             "available": sorted(self.state.pipelines)})
+            return
         t0 = time.time()
         try:
             # /vsg/synthesise accepts a previously /dzupload-ed id in place
@@ -316,6 +385,10 @@ class Handler(BaseHTTPRequestHandler):
         except Exception as e:  # bad client input, not a server fault
             self._json(400, {"error": f"cannot load video: {e}"})
             return
+        if q.get("close_up") == "0" and "landmarks_path" not in body:
+            # reference close_up=0 means "not a mouth close-up": run the
+            # face/landmark path before cropping (server.py:230-273)
+            body["detect_landmarks"] = True
         if not long_video and len(frames) > MAX_DURATION_S * FPS:
             # reject before touching the device or taking the lock
             self._json(400, {"error": f"video longer than {MAX_DURATION_S}s; "
@@ -340,6 +413,9 @@ class Handler(BaseHTTPRequestHandler):
             except ValueError as e:   # no face found in any frame
                 self._json(400, {"error": str(e)})
                 return
+        if uploaded_audio is not None and "spk_wav_path" not in body:
+            body["spk_wav_path"] = str(uploaded_audio)
+        aid = q.get("aid") or body.get("aid")
         if "spk_emb_path" in body:
             spk = np.load(body["spk_emb_path"]).astype(np.float32)
         elif "spk_wav_path" in body and self.state.speaker_params is not None:
@@ -350,25 +426,40 @@ class Handler(BaseHTTPRequestHandler):
             if wav.ndim > 1:
                 wav = wav.mean(axis=1)
             spk = embed_utterance(self.state.speaker_params, wav, sr)
+        elif aid is not None:
+            # named default voice (reference `aid` param, server.py:503)
+            if aid not in self.state.default_audios:
+                self._json(400, {"error": f"unknown audio id {aid!r}",
+                                 "available": sorted(self.state.default_audios)})
+                return
+            spk = self.state.default_audios[aid]
         else:
             spk = self.state.default_spk_emb
 
         import contextlib
 
         # with the dynamic batcher, requests coalesce instead of serializing
-        guard = (contextlib.nullcontext() if self.state.batcher is not None
+        guard = (contextlib.nullcontext()
+                 if self.state.batchers.get(cid or self.state.active) is not None
                  else self.state.lock)
         with guard:
             if long_video:
-                wav = synthesise_long_video(self.state, frames, spk)
+                wav = synthesise_long_video(self.state, frames, spk, cid)
             else:
-                wav = _synthesise_frames(self.state, frames, spk)
+                wav = _synthesise_frames(self.state, frames, spk, cid)
 
         elapsed = time.time() - t0
-        self.state.db.log_usage(len(frames) / FPS, elapsed)
+        if q.get("log", "1") != "0":   # reference log_result flag
+            self.state.db.log_usage(len(frames) / FPS, elapsed)
 
         out: dict = {"sample_rate": 16000, "num_samples": int(len(wav)),
                      "elapsed_s": round(elapsed, 4)}
+        if q.get("asr", "1") != "0" and self.state.asr is not None:
+            # Whisper readback of the synthesized speech (server.py:341)
+            try:
+                out["asr_text"] = self.state.asr.run(wav)
+            except Exception as e:  # noqa: BLE001 — readback must not fail synthesis
+                out["asr_error"] = str(e)
         if long_video and body.get("email"):
             # VSG completion notification (reference vsg_service.py:126-135);
             # best-effort — SMTP creds come from EMAIL_* env vars
@@ -540,12 +631,13 @@ def make_server(port: int = 5002,
                 pipelines: dict[str, Lip2SpeechPipeline] | None = None,
                 cfg: PipelineConfig | None = None,
                 db_path: str = ":memory:",
-                use_batcher: bool = False) -> ThreadingHTTPServer:
+                use_batcher: bool = False,
+                **state_kw) -> ThreadingHTTPServer:
     if pipelines is None:
         cfg = cfg or preset("multi_target")
         pipelines = {"multi_target": Lip2SpeechPipeline.initialize_random(cfg)}
     state = ServerState(pipelines, active=sorted(pipelines)[0], db_path=db_path,
-                        use_batcher=use_batcher)
+                        use_batcher=use_batcher, **state_kw)
     handler = type("BoundHandler", (Handler,), {"state": state})
     return ThreadingHTTPServer(("127.0.0.1", port), handler)
 
@@ -576,6 +668,13 @@ def main():
     p.add_argument("--data-parallel", action="store_true",
                    help="shard request batches over all local chips "
                         "(Mesh('data'); params replicated)")
+    p.add_argument("--default-audio-dir",
+                   help="directory of default speaker voices (.npy 256-d "
+                        "embeddings / .wav files); served at /audios, "
+                        "selected per request with ?aid=NAME")
+    p.add_argument("--asr-model",
+                   help="local Whisper weights for the ASR readback of "
+                        "synthesized speech (?asr=1; absent -> skipped)")
     args = p.parse_args()
     mesh = None
     if args.data_parallel:
@@ -598,8 +697,12 @@ def main():
     else:
         print("WARNING: no --checkpoint given; serving RANDOM weights "
               "(smoke-test mode)")
+    from lip2speech_tpu.eval.asr import try_load_asr
+
     server = make_server(args.port, pipelines=pipelines, db_path=args.db,
-                         use_batcher=args.batcher)
+                         use_batcher=args.batcher,
+                         default_audio_dir=args.default_audio_dir,
+                         asr=try_load_asr(args.asr_model))
     state = server.RequestHandlerClass.state
     if mesh is not None:
         # applies before the first _jitted call, so every pipeline compiles

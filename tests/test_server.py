@@ -101,6 +101,105 @@ def test_vsg_long_video(server, tmp_path):
     assert (tmp_path / "out.wav").exists()
 
 
+def test_synthesise_multipart_upload(server, tmp_path):
+    """Direct file upload (reference server.py:490-498): multipart `video`
+    part (+ optional `audio` part) instead of a server-local path."""
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (16, 96, 96), dtype=np.uint8)
+    np.save(tmp_path / "up.npy", frames)
+    boundary = "----l2smp"
+    parts = [f"--{boundary}\r\nContent-Disposition: form-data; "
+             f"name=\"video\"; filename=\"up.npy\"\r\n"
+             f"Content-Type: application/octet-stream\r\n\r\n".encode()
+             + (tmp_path / "up.npy").read_bytes() + b"\r\n",
+             f"--{boundary}--\r\n".encode()]
+    body = b"".join(parts)
+    conn = HTTPConnection("127.0.0.1", server.server_address[1], timeout=300)
+    conn.request("POST", "/synthesise", body,
+                 {"Content-Type": f"multipart/form-data; boundary={boundary}"})
+    resp = conn.getresponse()
+    out = json.loads(resp.read())
+    assert resp.status == 200, out
+    assert out["num_samples"] == 16 * 640
+
+    # missing the required `video` part is a client error
+    conn = HTTPConnection("127.0.0.1", server.server_address[1], timeout=60)
+    conn.request("POST", "/synthesise", f"--{boundary}--\r\n".encode(),
+                 {"Content-Type": f"multipart/form-data; boundary={boundary}"})
+    assert conn.getresponse().status == 400
+
+
+def test_per_request_checkpoint_cid(server, tmp_path):
+    """?cid= selects a loaded checkpoint for one request without hot-swapping
+    the active one (reference server.py:494 checkpoint_id)."""
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, (16, 96, 96), dtype=np.uint8)
+    np.save(tmp_path / "c.npy", frames)
+    body = {"video_path": str(tmp_path / "c.npy")}
+
+    code, out1 = _req(server, "POST", "/synthesise?cid=tiny", body)
+    assert code == 200, out1
+    code, out2 = _req(server, "POST", "/synthesise?cid=tiny2", body)
+    assert code == 200, out2
+    # different weights -> different audio; active checkpoint untouched
+    assert out1["wav_base64"] != out2["wav_base64"]
+    code, out = _req(server, "GET", "/checkpoints")
+    assert out["active"] == "tiny"
+    code, out = _req(server, "POST", "/synthesise?cid=nope", body)
+    assert code == 400 and "unknown checkpoint" in out["error"]
+
+
+def test_audios_aid_and_flags(server, tmp_path):
+    """/audios lists the default-voice library; ?aid= picks one; ?log=0 skips
+    usage logging; a present ASR hook adds asr_text unless ?asr=0."""
+    state = server.RequestHandlerClass.state
+    rng = np.random.default_rng(5)
+    state.default_audios["voice1"] = rng.standard_normal(256).astype(np.float32)
+    code, out = _req(server, "GET", "/audios")
+    assert code == 200 and out["audios"] == ["voice1"]
+
+    frames = rng.integers(0, 256, (16, 96, 96), dtype=np.uint8)
+    np.save(tmp_path / "a.npy", frames)
+    body = {"video_path": str(tmp_path / "a.npy")}
+    code, out = _req(server, "POST", "/synthesise?aid=voice1", body)
+    assert code == 200, out
+    code, out = _req(server, "POST", "/synthesise?aid=ghost", body)
+    assert code == 400 and "unknown audio id" in out["error"]
+
+    class StubASR:
+        def run(self, wav, sample_rate=16000):
+            return "hello world"
+
+    state.asr = StubASR()
+    try:
+        code, out = _req(server, "POST", "/synthesise", body)
+        assert out["asr_text"] == "hello world"
+        _, n0 = _req(server, "GET", "/stats")
+        code, out = _req(server, "POST", "/synthesise?asr=0&log=0", body)
+        assert "asr_text" not in out
+        _, n1 = _req(server, "GET", "/stats")
+        assert n1["usage_count"] == n0["usage_count"]   # log=0 skipped the DB
+    finally:
+        state.asr = None
+        state.default_audios.clear()
+
+
+def test_default_audio_dir_kwarg(tmp_path):
+    """make_server(default_audio_dir=...) loads .npy voices at startup."""
+    rng = np.random.default_rng(6)
+    np.save(tmp_path / "alice.npy", rng.standard_normal(256).astype(np.float32))
+    np.save(tmp_path / "bob.npy", rng.standard_normal(256).astype(np.float32))
+    pipes = {"tiny": Lip2SpeechPipeline.initialize_random(TINY, frames=8)}
+    srv = make_server(port=0, pipelines=pipes, default_audio_dir=str(tmp_path))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        code, out = _req(srv, "GET", "/audios")
+        assert code == 200 and out["audios"] == ["alice", "bob"]
+    finally:
+        srv.shutdown()
+
+
 def test_error_handling(server):
     # bad client input is a 400, not a 500 (missing video file)
     code, out = _req(server, "POST", "/synthesise", {"video_path": "/nope.npy"})
