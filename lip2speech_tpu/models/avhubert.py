@@ -143,6 +143,28 @@ class Wav2Vec2TransformerEncoder(nn.Module):
         return x
 
 
+def fuse_modality_features(module: nn.Module, feats_a, feats_v, *,
+                           modality_dropout: float, audio_dropout: float,
+                           train: bool):
+    """Shared modality fuse prep (used by the encoder AND the pretrain model):
+    the absent modality contributes zeros (hubert.py:703-711), and with both
+    present under train, ONE uniform draw per forward decides whether to drop
+    audio or video (hubert.py:611-617). Returns (feats_a, feats_v)."""
+    both = feats_a is not None and feats_v is not None
+    if feats_v is None:
+        feats_v = jnp.zeros_like(feats_a)
+    if feats_a is None:
+        feats_a = jnp.zeros_like(feats_v)
+    if train and modality_dropout > 0.0 and both:
+        rng = module.make_rng("dropout")
+        r_mod, r_aud = jax.random.uniform(rng, (2,))
+        drop_audio = (r_mod < modality_dropout) & (r_aud < audio_dropout)
+        drop_video = (r_mod < modality_dropout) & ~(r_aud < audio_dropout)
+        feats_a = jnp.where(drop_audio, 0.0, feats_a)
+        feats_v = jnp.where(drop_video, 0.0, feats_v)
+    return feats_a, feats_v
+
+
 class AVHubertEncoder(nn.Module):
     """AV-HuBERT encoder. video: (B, T, H, W, 1) or None; audio: (B, T, F)
     stacked-logfbank features or None -> (B, T, dim).
@@ -180,19 +202,15 @@ class AVHubertEncoder(nn.Module):
             audio_proj = Linear(self.dim, name="audio_proj")
             if audio is not None:
                 feats_a = audio_proj(audio)
-        if feats_v is None:
-            feats_v = jnp.zeros_like(feats_a)
-        if feats_a is None:
-            feats_a = jnp.zeros_like(feats_v)
-        if train and self.modality_dropout > 0.0 and audio is not None \
-                and video is not None:
-            # ONE draw per forward (hubert.py:611: np.random.random() pair)
-            rng = self.make_rng("dropout")
-            r_mod, r_aud = jax.random.uniform(rng, (2,))
-            drop_audio = (r_mod < self.modality_dropout) & (r_aud < self.audio_dropout)
-            drop_video = (r_mod < self.modality_dropout) & ~(r_aud < self.audio_dropout)
-            feats_a = jnp.where(drop_audio, 0.0, feats_a)
-            feats_v = jnp.where(drop_video, 0.0, feats_v)
+            else:
+                # the params must exist regardless of which modalities were
+                # fed at init (an absent modality contributes zeros at FUSE
+                # level, not proj(zeros)); throwaway 1x1 call, DCE'd in apply
+                audio_proj(jnp.zeros((1, 1, self.audio_feat_dim),
+                                     feats_v.dtype))
+        feats_a, feats_v = fuse_modality_features(
+            self, feats_a, feats_v, modality_dropout=self.modality_dropout,
+            audio_dropout=self.audio_dropout, train=train)
         # modality fuse: concat([audio, video], channel) -> LN -> proj
         fused = jnp.concatenate([feats_a, feats_v], axis=-1)
         fused = LayerNorm(2 * self.dim, eps=1e-5, name="fuse_layer_norm")(fused)

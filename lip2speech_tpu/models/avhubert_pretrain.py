@@ -24,7 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from lip2speech_tpu.models.avhubert import Wav2Vec2TransformerEncoder
+from lip2speech_tpu.models.avhubert import (Wav2Vec2TransformerEncoder,
+                                            fuse_modality_features)
 from lip2speech_tpu.models.layers import LayerNorm, Linear
 from lip2speech_tpu.models.resnet3d import ResNet3DFrontend
 
@@ -66,18 +67,14 @@ class AVHubertPretrainModel(nn.Module):
             if audio is not None:
                 audio = jnp.where(span_mask[:, :, None], mask_emb, audio)
                 feats_a = audio_proj(audio)
-        if feats_v is None:
-            feats_v = jnp.zeros_like(feats_a)
-        if feats_a is None:
-            feats_a = jnp.zeros_like(feats_v)
-        if train and self.modality_dropout > 0.0 and audio is not None \
-                and video is not None:
-            rng = self.make_rng("dropout")
-            r_mod, r_aud = jax.random.uniform(rng, (2,))
-            drop_audio = (r_mod < self.modality_dropout) & (r_aud < self.audio_dropout)
-            drop_video = (r_mod < self.modality_dropout) & ~(r_aud < self.audio_dropout)
-            feats_a = jnp.where(drop_audio, 0.0, feats_a)
-            feats_v = jnp.where(drop_video, 0.0, feats_v)
+            else:
+                # params must exist regardless of the init-time modalities —
+                # otherwise a video-only init can never serve audio later
+                audio_proj(jnp.zeros((1, 1, self.audio_feat_dim),
+                                     feats_v.dtype))
+        feats_a, feats_v = fuse_modality_features(
+            self, feats_a, feats_v, modality_dropout=self.modality_dropout,
+            audio_dropout=self.audio_dropout, train=train)
         fused = jnp.concatenate([feats_a, feats_v], axis=-1)
         features_pen = jnp.mean(jnp.square(fused))
         fused = LayerNorm(2 * self.dim, eps=1e-5, name="fuse_layer_norm")(fused)

@@ -139,7 +139,8 @@ class Conv3d(nn.Module):
         kinit = self.kernel_init or torch_uniform_init(fan_in)
         w = self.param("weight", kinit, (kt, kh, kw, in_dim, self.features))
         b = self.param("bias", torch_uniform_init(fan_in), (self.features,)) if self.use_bias else None
-        if self.stride[0] == 1 and in_dim * kt <= 16:
+        if (self.stride[0] == 1 and in_dim * kt <= 16
+                and 2 * self.padding[0] == kt - 1):
             # Thin-channel stem: fold temporal taps into conv2d channels
             # (ops.conv3d_timestack). Measured on TPU v5e at train shapes
             # (b3 x T600 f32): fwd 19.2 -> 3.7 ms; BACKWARD 437 -> 19 ms —

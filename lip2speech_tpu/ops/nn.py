@@ -146,12 +146,18 @@ def conv3d_timestack(
     4.2x faster (2.6 ms) on the same shapes; exact up to bf16 accumulation
     order (the patches+GEMM variant of the same reindexing is bit-exact).
 
-    Requires stride[0] == 1. x: (B, T, H, W, Cin); w: (Kt, Kh, Kw, Cin, Cout).
+    Requires stride[0] == 1 AND length-preserving temporal padding
+    (2*padding[0] == Kt-1): the slice construction always emits T output
+    frames. x: (B, T, H, W, Cin); w: (Kt, Kh, Kw, Cin, Cout).
     """
     assert stride[0] == 1, "time stride must be 1 for the time-stack form"
     B, T, H, W, Cin = x.shape
     Kt, Kh, Kw, _, Cout = w.shape
     pt = padding[0]
+    if 2 * pt != Kt - 1:
+        raise ValueError(
+            f"conv3d_timestack needs same-length temporal padding "
+            f"(2*pt == Kt-1); got Kt={Kt}, padding[0]={pt} — use conv3d")
     xp = jnp.pad(x, ((0, 0), (pt, pt), (0, 0), (0, 0), (0, 0)))
     # (B, T, H, W, Kt*Cin); channel block dt holds frame t + dt - pt
     xs = jnp.concatenate([xp[:, dt:dt + T] for dt in range(Kt)], axis=-1)
@@ -235,18 +241,25 @@ def batch_norm_train(
     """
     reduce_axes = tuple(range(x.ndim - 1))
     n = np.prod([x.shape[a] for a in reduce_axes]).astype(np.float32)
-    mean = jnp.mean(x, axis=reduce_axes)
-    mean_sq = jnp.mean(jnp.square(x), axis=reduce_axes)
+    # statistics ALWAYS in f32: under bf16 compute, a bf16-accumulated mean
+    # and a bf16 momentum update quantize away running-stat drift (updates
+    # below ~0.4% of the stat round to zero once roughly converged)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=reduce_axes)
+    mean_sq = jnp.mean(jnp.square(x32), axis=reduce_axes)
     if axis_name is not None:
         mean = jax.lax.pmean(mean, axis_name)
         mean_sq = jax.lax.pmean(mean_sq, axis_name)
         n = n * jax.lax.psum(1, axis_name)
     var = mean_sq - jnp.square(mean)
-    y = (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    # normalization stays on the input dtype grid (bf16 activations in, bf16
+    # out) — only the statistics and their running update are f32
+    scale = (jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32)).astype(x.dtype)
+    y = (x - mean.astype(x.dtype)) * scale + beta
     # torch updates running_var with the UNBIASED batch variance
     unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
-    new_mean = (1 - momentum) * running_mean + momentum * mean
-    new_var = (1 - momentum) * running_var + momentum * unbiased
+    new_mean = (1 - momentum) * running_mean.astype(jnp.float32) + momentum * mean
+    new_var = (1 - momentum) * running_var.astype(jnp.float32) + momentum * unbiased
     return y, new_mean, new_var
 
 

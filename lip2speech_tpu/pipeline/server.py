@@ -31,6 +31,7 @@ from __future__ import annotations
 import base64
 import io
 import json
+import re
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -48,6 +49,9 @@ MAX_DURATION_S = 24.0    # config.py:30
 FPS = 25
 MAX_CHUNK_BYTES = 32 * 1024 * 1024      # per-/dzupload-request cap -> 413
 MAX_UPLOAD_BYTES = 1024 * 1024 * 1024   # assembled-file cap -> 413
+# upload ids: no underscore (the id/filename separator on disk), no glob
+# metacharacters, no path separators
+_UPLOAD_ID_RE = re.compile(r"[A-Za-z0-9-]{1,64}")
 
 
 class ServerState:
@@ -71,6 +75,9 @@ class ServerState:
         self.inputs_dir = Path(inputs_dir)
         self.inputs_dir.mkdir(parents=True, exist_ok=True)
         self.lock = threading.Lock()      # global request serialization
+        self.upload_lock = threading.Lock()  # /dzupload file writes only
+        self.upload_chunks: dict[str, set[int]] = {}  # id -> received indices
+        self.uploads_complete: set[str] = set()       # all chunks + size ok
         self.default_spk_emb = (default_spk_emb if default_spk_emb is not None
                                 else np.zeros(256, np.float32))
         # in-process GE2E d-vector encoder replacing the reference's
@@ -181,10 +188,18 @@ def _parse_multipart(body: bytes, content_type: str):
     if not boundary:
         raise ValueError("multipart body without boundary")
     delim = b"--" + boundary.encode()
-    for part in body.split(delim):
-        part = part.strip(b"\r\n")
-        if not part or part == b"--":
-            continue
+    # RFC 2046 framing: parts are delimited by CRLF + "--boundary". Splitting
+    # on that exact sequence (and trimming ONE leading CRLF per part) keeps
+    # payload bytes verbatim — a blanket strip(b"\r\n") would also eat
+    # trailing 0x0D/0x0A bytes of binary payloads, truncating uploads.
+    chunks = body.split(b"\r\n" + delim)
+    if chunks and chunks[0].startswith(delim):
+        chunks[0] = chunks[0][len(delim):]
+    for part in chunks:
+        if part.startswith(b"--") or not part.strip(b"\r\n"):
+            continue  # closing "--" marker / preamble / epilogue
+        if part.startswith(b"\r\n"):
+            part = part[2:]
         header_blob, _, payload = part.partition(b"\r\n\r\n")
         disp = ""
         for line in header_blob.split(b"\r\n"):
@@ -281,7 +296,9 @@ class Handler(BaseHTTPRequestHandler):
 
         q = parse_qs(urlparse(self.path).query)
         upload_id = (q.get("id") or [None])[0]
-        if not upload_id or "/" in upload_id or ".." in upload_id:
+        # strict id charset: no underscore (the id/filename separator), no
+        # glob metacharacters (_resolve_upload matches by prefix), no slashes
+        if not upload_id or not _UPLOAD_ID_RE.fullmatch(upload_id):
             self._json(400, {"error": "missing or invalid upload id"})
             return
         length = int(self.headers.get("Content-Length", 0))
@@ -313,23 +330,42 @@ class Handler(BaseHTTPRequestHandler):
             self._json(413, {"error": f"upload exceeds {MAX_UPLOAD_BYTES} bytes"})
             return
         upload_path = self.state.inputs_dir / f"{upload_id}_{filename}"
-        with self.state.lock:  # concurrent chunks of one file: serialize writes
+        # dedicated upload mutex: chunk writes must not queue behind a running
+        # synthesis (state.lock is held for the whole device call)
+        with self.state.upload_lock:
             # NOT "ab": append mode ignores seek() on POSIX, so out-of-order
             # chunks would corrupt the file (latent in reference server.py:539)
             mode = "r+b" if upload_path.exists() else "wb"
             with open(upload_path, mode) as f:
                 f.seek(offset)
                 f.write(payload)
-            if index + 1 == total_chunks:
+            got = self.state.upload_chunks.setdefault(upload_id, set())
+            got.add(index)
+            # verify once EVERY chunk index has arrived (chunks may come out
+            # of order, so "index == last" is not "upload finished"); st_size
+            # alone can't catch holes — a seek past EOF creates a sparse file
+            # of the full declared size
+            if len(got) == total_chunks:
                 if upload_path.stat().st_size != total_size:
                     # reference returns 500 'File size mismatch' (server.py:548)
                     self._json(500, {"error": "file size mismatch"})
                     return
+                self.state.uploads_complete.add(upload_id)
         self._json(200, {"message": "chunk uploaded successfully",
-                         "upload_id": upload_id})
+                         "upload_id": upload_id,
+                         "complete": upload_id in self.state.uploads_complete})
 
     def _resolve_upload(self, upload_id: str) -> str:
-        cands = sorted(self.state.inputs_dir.glob(f"{upload_id}_*"))
+        if not _UPLOAD_ID_RE.fullmatch(upload_id):
+            raise FileNotFoundError(f"invalid upload id {upload_id!r}")
+        if (upload_id in self.state.upload_chunks
+                and upload_id not in self.state.uploads_complete):
+            raise FileNotFoundError(
+                f"upload {upload_id!r} is incomplete (missing chunks)")
+        # exact-prefix listdir match — NOT glob (a client-supplied pattern
+        # must never wildcard into other requests' staged files)
+        cands = sorted(f for f in self.state.inputs_dir.iterdir()
+                       if f.name.startswith(f"{upload_id}_"))
         if not cands:
             raise FileNotFoundError(f"no uploaded file for id {upload_id!r}")
         return str(cands[0])

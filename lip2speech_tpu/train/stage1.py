@@ -127,7 +127,8 @@ def make_train_step(model: MultiTargetModel, tx, cfg: PipelineConfig, mesh=None)
                     lambda x: x.astype(to) if x.dtype == frm else x, t)
 
             params = cast(params)
-            batch_stats = cast(batch_stats)
+            # batch_stats stay f32: batch_norm_train computes statistics and
+            # the momentum update in f32 regardless of the activation dtype
             video = video.astype(jnp.bfloat16)
             spk = spk.astype(jnp.bfloat16)
         variables = {"params": params, "batch_stats": batch_stats}

@@ -119,6 +119,48 @@ def test_bad_upload_ids(server):
     assert code == 400  # unknown upload id is client error
 
 
+def test_binary_payload_with_crlf_tail_is_exact(server, tmp_path):
+    """Multipart parsing must keep payload bytes verbatim: a chunk whose last
+    bytes are 0x0D/0x0A must not be truncated (a blanket strip(b"\\r\\n")
+    would eat them and the final size check would reject the upload)."""
+    payload = b"x" * 100 + b"\r\n\n\r"          # hostile tail
+    code, out = _post_chunk(server, "crlf-tail", "t.bin", payload,
+                            offset=0, index=0, total=1,
+                            total_size=len(payload))
+    assert code == 200, out
+    path = server.RequestHandlerClass.state.inputs_dir / "crlf-tail_t.bin"
+    assert path.read_bytes() == payload
+
+
+def test_upload_id_cannot_glob_or_collide(server, tmp_path):
+    """upload ids are a strict charset: no glob metacharacters (an id of '*'
+    must not resolve another request's staged file) and no underscore (the
+    on-disk id/filename separator, so prefix matches cannot collide)."""
+    code, _ = _post_chunk(server, "victim-1", "v.bin", b"secret",
+                          offset=0, index=0, total=1, total_size=6)
+    assert code == 200
+    for bad in ("*", "victim-1_x", "a.b", "[a-z]", "x%20y"):
+        code, _ = _post_chunk(server, bad, "x.bin", b"a",
+                              offset=0, index=0, total=1, total_size=1)
+        assert code == 400, bad
+        code, out = _req(server, "POST", "/vsg/synthesise",
+                         {"upload_id": bad})
+        assert code == 400, bad
+
+
+def test_missing_chunk_hole_is_rejected(server):
+    """seek-past-EOF creates a sparse file of the full declared size, so
+    completion requires EVERY chunk index, and an incomplete upload must not
+    be synthesisable (the sparse file would be zero-hole-filled garbage)."""
+    # send only the LAST of 3 chunks: st_size == total_size but chunks 0,1
+    # never arrived -> still in progress, not complete
+    code, out = _post_chunk(server, "holey", "h.bin", b"cc",
+                            offset=4, index=2, total=3, total_size=6)
+    assert code == 200 and out["complete"] is False
+    code, out = _req(server, "POST", "/vsg/synthesise", {"upload_id": "holey"})
+    assert code == 400 and "incomplete" in out["error"]
+
+
 def test_vsg_page_and_email_notify(server, tmp_path, monkeypatch):
     """GET /vsg serves the chunked-upload page (reference templates/vsg.html);
     /vsg/synthesise with an email field attempts the completion notification

@@ -74,6 +74,12 @@ def test_conv3d_timestack_parity():
     for gd, gs in zip(g_d, g_s):
         np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), atol=2e-4)
 
+    # non-length-preserving temporal padding is rejected (the slice
+    # construction always emits T output frames, so it would be silently
+    # wrong) rather than returning bad values
+    with pytest.raises(ValueError, match="same-length temporal padding"):
+        ops.conv3d_timestack(x2, w2, b2, stride=(1, 1, 1), padding=(0, 1, 1))
+
 
 def test_conv1d_timestack_parity():
     """The discriminators' thin-channel first convs (Cin=1, k=5/15) fold
@@ -142,6 +148,28 @@ def test_batch_norm_train_parity():
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
     np.testing.assert_allclose(np.asarray(new_mean), bn.running_mean.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(new_var), bn.running_var.numpy(), atol=1e-4)
+
+
+def test_batch_norm_train_bf16_keeps_f32_stats():
+    """Under bf16 compute, running-stat updates smaller than bf16 epsilon
+    (~0.4% of the stat) must not round away: statistics and their momentum
+    update run in f32 regardless of the activation dtype, and the normalized
+    output stays on the bf16 grid."""
+    import jax
+
+    x = jnp.asarray(RNG.standard_normal((64, 8), dtype=np.float32) * 0.01
+                    + 1.001, jnp.bfloat16)
+    rm = jnp.ones(8, jnp.float32)          # converged stat near the batch mean
+    rv = jnp.ones(8, jnp.float32) * 1e-4
+    y, new_mean, new_var = ops.batch_norm_train(
+        x, rm, rv, jnp.ones(8, jnp.bfloat16), jnp.zeros(8, jnp.bfloat16))
+    assert y.dtype == jnp.bfloat16
+    assert new_mean.dtype == jnp.float32 and new_var.dtype == jnp.float32
+    # the ~1e-4 update (0.1 momentum x ~0.001 drift) must survive: in bf16 it
+    # would quantize to exactly 1.0
+    drift = np.abs(np.asarray(new_mean) - 1.0)
+    assert (drift > 1e-5).all() and (drift < 5e-4).all()
+    del jax
 
 
 def test_layer_norm_parity():

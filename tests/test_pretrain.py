@@ -119,3 +119,35 @@ def test_pretrain_audio_visual():
     out_a = model.apply(variables, None, frames_mask, span, train=False,
                         audio=audio)
     assert out_a["logits"].shape == (b, t, 12)
+
+
+def test_audio_params_exist_after_video_only_init():
+    """audio_feat_dim > 0 must create audio_proj even when init saw no audio:
+    otherwise a video-only-initialized checkpoint can never serve audio (the
+    param tree would depend on which modalities happened to be present)."""
+    from lip2speech_tpu.models.avhubert import AVHubertEncoder
+
+    rng = np.random.default_rng(3)
+    b, t = 2, 6
+    video = jnp.asarray(rng.standard_normal((b, t, 24, 24, 1)).astype(np.float32))
+    audio = jnp.asarray(rng.standard_normal((b, t, 104)).astype(np.float32))
+    frames_mask = jnp.ones((b, t), bool)
+    key = jax.random.PRNGKey(1)
+
+    enc = AVHubertEncoder(dim=32, heads=2, ffn_dim=64, layers=1,
+                          dropout=0.0, audio_feat_dim=104)
+    variables = enc.init({"params": key}, video, frames_mask, train=False)
+    assert "audio_proj" in variables["params"]
+    # the same variables now serve audio-only and audio+video
+    enc.apply(variables, None, frames_mask, train=False, audio=audio)
+    enc.apply(variables, video, frames_mask, train=False, audio=audio)
+
+    model = AVHubertPretrainModel(dim=32, heads=2, ffn_dim=64, layers=1,
+                                  final_dim=16, num_classes=12,
+                                  audio_feat_dim=104, dropout=0.0)
+    span = jnp.zeros((b, t), bool)
+    variables = model.init({"params": key}, video, frames_mask, span,
+                           train=False)          # NO audio at init
+    assert "audio_proj" in variables["params"]
+    assert "mask_emb" in variables["params"]
+    model.apply(variables, video, frames_mask, span, train=False, audio=audio)

@@ -55,13 +55,16 @@ def test_stage1_train_step_runs_and_descends():
 
     logs0 = None
     key = jax.random.PRNGKey(1)
-    for i in range(3):
+    for i in range(6):
         state, logs = step(state, batch, jax.random.fold_in(key, i))
         if logs0 is None:
             logs0 = logs
-    assert int(state.step) == 3
+    assert int(state.step) == 6
     assert np.isfinite(float(logs["loss"]))
     assert float(logs["grad_norm"]) > 0
+    # repeated steps on the SAME batch must reduce the loss (the real
+    # generalization evidence is tests/test_overfit_quality.py on real clips)
+    assert float(logs["loss"]) < float(logs0["loss"])
 
 
 def test_stage1_frozen_frontend_gets_no_updates():
