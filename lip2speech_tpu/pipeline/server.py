@@ -29,6 +29,7 @@ a single lock like the reference's global semaphore (server.py:49-50).
 from __future__ import annotations
 
 import base64
+import functools
 import io
 import json
 import re
@@ -174,6 +175,37 @@ def synthesise_long_video(state: ServerState, frames: np.ndarray,
     return np.concatenate(wavs) if wavs else np.zeros(0, np.float32)
 
 
+def _wav_base64(wav: np.ndarray) -> str:
+    """float wav in [-1, 1] -> base64 of a 16 kHz PCM16 WAV container."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes((np.clip(wav, -1, 1) * 32767).astype(np.int16).tobytes())
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+@functools.lru_cache(maxsize=8)
+def _vocode_jit(voc_cfg):
+    """Jitted vocoder-only program (the reference's standalone vocoder
+    service, multi_input_vocoder/inference_server.py:149-215, port 5005)."""
+    import jax
+
+    from lip2speech_tpu.models.vocoder import MelCodeGenerator
+
+    gen = MelCodeGenerator(voc_cfg)
+
+    @jax.jit
+    def fn(params, code, mel, spk):
+        return gen.apply({"params": params}, code, mel, spk,
+                         deterministic=True)
+
+    return fn
+
+
 def _parse_multipart(body: bytes, content_type: str):
     """Minimal multipart/form-data parser (stdlib-only; the `cgi` module is
     gone in modern Python). Returns (fields, files) where files maps part
@@ -281,6 +313,8 @@ class Handler(BaseHTTPRequestHandler):
                 self._json(200, {"active": name})
             elif self.path.split("?")[0] in ("/synthesise", "/vsg/synthesise"):
                 self._handle_synthesise(long_video=self.path.startswith("/vsg"))
+            elif self.path.split("?")[0] == "/vocode":
+                self._handle_vocode()
             elif self.path.split("?")[0] == "/dzupload":
                 self._handle_dzupload()
             else:
@@ -369,6 +403,65 @@ class Handler(BaseHTTPRequestHandler):
         if not cands:
             raise FileNotFoundError(f"no uploaded file for id {upload_id!r}")
         return str(cands[0])
+
+    def _handle_vocode(self):
+        """Vocoder-only synthesis: units + mel (+ speaker) -> wav, the API of
+        the reference's standalone vocoder service (POST /vocoder, port 5005,
+        inference_server.py:149-215). Accepts inline `units` or a `unt_path`
+        (one line of space-separated unit ids), a `mel_path` .npy (Tm, 80)
+        with Tm == 2*len(units), and the usual speaker options."""
+        from urllib.parse import parse_qs, urlparse
+
+        from lip2speech_tpu.data.stage1 import pick_bucket
+
+        q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+        body = self._read_body()
+        cid = q.get("cid") or body.get("cid")
+        if cid is not None and cid not in self.state.pipelines:
+            self._json(400, {"error": f"unknown checkpoint {cid!r}",
+                             "available": sorted(self.state.pipelines)})
+            return
+        pipeline = self.state.pipelines[cid or self.state.active]
+        try:
+            if "units" in body:
+                units = np.asarray(body["units"], np.int32)
+            else:
+                units = np.asarray(
+                    Path(body["unt_path"]).read_text().split(), np.int32)
+            mel = np.load(body["mel_path"]).astype(np.float32)
+            if mel.ndim != 2 or mel.shape[1] != 80:
+                raise ValueError(f"mel must be (T, 80), got {mel.shape}")
+            if abs(mel.shape[0] - 2 * len(units)) > 4:
+                raise ValueError(f"{len(units)} units vs {mel.shape[0]} mel "
+                                 f"frames (need Tm ~= 2*units)")
+        except Exception as e:  # bad client input
+            self._json(400, {"error": f"cannot load inputs: {e}"})
+            return
+        if "spk_emb_path" in body:
+            spk = np.load(body["spk_emb_path"]).astype(np.float32)
+        else:
+            spk = self.state.default_spk_emb
+        # pad to the serving bucket grid (static shapes; 2 units per frame)
+        n = len(units)
+        tc = 2 * pick_bucket((n + 1) // 2)
+        code = np.zeros((1, tc), np.int32)
+        code[0, :n] = units
+        melb = np.zeros((1, 2 * tc, 80), np.float32)
+        melb[0, :min(mel.shape[0], 2 * tc)] = mel[:2 * tc]
+        t0 = time.time()
+        fn = _vocode_jit(pipeline.cfg.vocoder)
+        wav = np.asarray(fn(pipeline.vocoder_params, code, melb,
+                            spk[None].astype(np.float32)))[0, :n * 320]
+        elapsed = time.time() - t0
+        out = {"sample_rate": 16000, "num_samples": int(len(wav)),
+               "elapsed_s": round(elapsed, 4),
+               "rtf": round((len(wav) / 16000.0) / max(elapsed, 1e-9), 2)}
+        if body.get("output_path"):
+            write_wav(body["output_path"], wav, 16000)
+            out["output_path"] = body["output_path"]
+        else:
+            out["wav_base64"] = _wav_base64(wav)
+        self._json(200, out)
 
     def _handle_synthesise(self, long_video: bool):
         from urllib.parse import parse_qs, urlparse
@@ -514,15 +607,7 @@ class Handler(BaseHTTPRequestHandler):
             write_wav(body["output_path"], wav, 16000)
             out["output_path"] = body["output_path"]
         else:
-            buf = io.BytesIO()
-            import wave
-
-            with wave.open(buf, "wb") as w:
-                w.setnchannels(1)
-                w.setsampwidth(2)
-                w.setframerate(16000)
-                w.writeframes((np.clip(wav, -1, 1) * 32767).astype(np.int16).tobytes())
-            out["wav_base64"] = base64.b64encode(buf.getvalue()).decode()
+            out["wav_base64"] = _wav_base64(wav)
         self._json(200, out)
 
 

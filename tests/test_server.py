@@ -184,6 +184,40 @@ def test_audios_aid_and_flags(server, tmp_path):
         state.default_audios.clear()
 
 
+def test_vocode_endpoint(server, tmp_path):
+    """Standalone vocoder service API (reference POST /vocoder, port 5005):
+    precomputed units + mel -> wav, without running stage 1."""
+    rng = np.random.default_rng(7)
+    n_units = 20                                   # 10 video frames
+    units = rng.integers(0, 200, n_units).astype(int).tolist()
+    mel = rng.standard_normal((2 * n_units, 80)).astype(np.float32)
+    np.save(tmp_path / "mel.npy", mel)
+    (tmp_path / "u.unt").write_text(" ".join(map(str, units)))
+
+    body = {"units": units, "mel_path": str(tmp_path / "mel.npy")}
+    code, out = _req(server, "POST", "/vocode", body)
+    assert code == 200, out
+    assert out["num_samples"] == n_units * 320
+    wav_bytes = base64.b64decode(out["wav_base64"])
+    with wave.open(__import__("io").BytesIO(wav_bytes)) as w:
+        assert w.getnframes() == out["num_samples"]
+
+    # unt_path form matches the inline form exactly
+    code, out2 = _req(server, "POST", "/vocode",
+                      {"unt_path": str(tmp_path / "u.unt"),
+                       "mel_path": str(tmp_path / "mel.npy")})
+    assert code == 200 and out2["wav_base64"] == out["wav_base64"]
+    assert out2["rtf"] > 0    # second call is compiled (first pays the jit)
+
+    # bad inputs are client errors
+    code, out = _req(server, "POST", "/vocode",
+                     {"units": units, "mel_path": "/nope.npy"})
+    assert code == 400
+    code, out = _req(server, "POST", "/vocode",
+                     {"units": units[:4], "mel_path": str(tmp_path / "mel.npy")})
+    assert code == 400 and "mel" in out["error"]
+
+
 def test_default_audio_dir_kwarg(tmp_path):
     """make_server(default_audio_dir=...) loads .npy voices at startup."""
     rng = np.random.default_rng(6)
