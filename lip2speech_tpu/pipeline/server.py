@@ -624,6 +624,8 @@ input{width:100%;margin:4px 0;padding:6px}button{padding:8px 16px}
 <label>Video path (server-local .npy/.mp4)</label><input id="v">
 <label>Speaker wav path (optional)</label><input id="s">
 <label>Landmarks path (optional, raw video)</label><input id="l">
+<label>Checkpoint</label><select id="cid"></select>
+<label>Default voice</label><select id="aid"><option value="">(built-in)</option></select>
 <button onclick="go()">Synthesise</button>
 <p id="status"></p><audio id="player" controls></audio>
 <h3>Webcam streaming</h3>
@@ -633,10 +635,22 @@ input{width:100%;margin:4px 0;padding:6px}button{padding:8px 16px}
 <canvas id="cap" width="160" height="120" style="display:none"></canvas>
 <p id="wstatus"></p><audio id="wplayer" controls></audio>
 <script>
+// populate checkpoint + default-voice selectors (reference demo.html
+// template params checkpoint_ids / default_audios)
+fetch('/checkpoints').then(r=>r.json()).then(j=>{
+  const sel=document.getElementById('cid');
+  for(const c of j.checkpoints){const o=document.createElement('option');
+    o.value=c;o.textContent=c;o.selected=(c===j.active);sel.appendChild(o);}});
+fetch('/audios').then(r=>r.json()).then(j=>{
+  const sel=document.getElementById('aid');
+  for(const a of j.audios){const o=document.createElement('option');
+    o.value=a;o.textContent=a;sel.appendChild(o);}});
 async function go(){
   const body={video_path:document.getElementById('v').value};
   const s=document.getElementById('s').value; if(s) body.spk_wav_path=s;
   const l=document.getElementById('l').value; if(l) body.landmarks_path=l;
+  const cid=document.getElementById('cid').value; if(cid) body.cid=cid;
+  const aid=document.getElementById('aid').value; if(aid) body.aid=aid;
   document.getElementById('status').textContent='synthesising...';
   const r=await fetch('/synthesise',{method:'POST',body:JSON.stringify(body)});
   const j=await r.json();
