@@ -64,7 +64,7 @@ class ServerState:
                  max_wait_ms: float = 10.0, postprocess: bool = False,
                  inputs_dir: str | None = None,
                  default_audio_dir: str | None = None,
-                 asr=None):
+                 asr=None, static_dir: str | None = None):
         self.pipelines = pipelines
         self.active = active
         self.db = DB(db_path)
@@ -108,6 +108,8 @@ class ServerState:
         # optional Whisper ASR readback (reference server.py:341); None when
         # local weights are absent (zero-egress) — degrades gracefully
         self.asr = asr
+        # /cdn/<file> static serving root (reference config.WEB_STATIC_PATH)
+        self.static_dir = static_dir
         # optional dynamic batching: concurrent requests coalesce into one
         # device call instead of serializing behind the lock
         self.batchers: dict[str, "object"] = {}
@@ -294,6 +296,27 @@ class Handler(BaseHTTPRequestHandler):
         elif self.path == "/audios":
             # default speaker-voice library (reference server.py:515-517)
             self._json(200, {"audios": sorted(self.state.default_audios)})
+        elif self.path.startswith("/cdn/"):
+            # static file serving (reference server.py:471-473); resolve()
+            # must stay inside static_dir — no traversal
+            static_dir = getattr(self.state, "static_dir", None)
+            if static_dir is None:
+                self._json(404, {"error": "no static dir configured"})
+                return
+            target = (Path(static_dir) / self.path[len("/cdn/"):]).resolve()
+            if (not str(target).startswith(str(Path(static_dir).resolve()) + "/")
+                    or not target.is_file()):
+                self._json(404, {"error": "not found"})
+                return
+            import mimetypes
+
+            body = target.read_bytes()
+            ctype = mimetypes.guess_type(target.name)[0] or "application/octet-stream"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif self.path == "/stats":
             self._json(200, {"usage_count": self.state.db.usage_count()})
         else:
@@ -810,6 +833,9 @@ def main():
     p.add_argument("--asr-model",
                    help="local Whisper weights for the ASR readback of "
                         "synthesized speech (?asr=1; absent -> skipped)")
+    p.add_argument("--static-dir",
+                   help="serve files under this directory at /cdn/<name> "
+                        "(reference WEB_STATIC_PATH)")
     args = p.parse_args()
     mesh = None
     if args.data_parallel:
@@ -837,7 +863,8 @@ def main():
     server = make_server(args.port, pipelines=pipelines, db_path=args.db,
                          use_batcher=args.batcher,
                          default_audio_dir=args.default_audio_dir,
-                         asr=try_load_asr(args.asr_model))
+                         asr=try_load_asr(args.asr_model),
+                         static_dir=args.static_dir)
     state = server.RequestHandlerClass.state
     if mesh is not None:
         # applies before the first _jitted call, so every pipeline compiles

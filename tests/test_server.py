@@ -218,6 +218,32 @@ def test_vocode_endpoint(server, tmp_path):
     assert code == 400 and "mel" in out["error"]
 
 
+def test_cdn_static_serving(tmp_path):
+    """/cdn/<file> serves from static_dir (reference server.py:471-473) and
+    rejects path traversal."""
+    static = tmp_path / "static"
+    static.mkdir()
+    (static / "a.wav").write_bytes(b"RIFFdata")
+    (tmp_path / "secret.txt").write_bytes(b"nope")
+    pipes = {"tiny": Lip2SpeechPipeline.initialize_random(TINY, frames=8)}
+    srv = make_server(port=0, pipelines=pipes, static_dir=str(static))
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        conn = HTTPConnection("127.0.0.1", srv.server_address[1], timeout=60)
+        conn.request("GET", "/cdn/a.wav")
+        r = conn.getresponse()
+        assert r.status == 200 and r.read() == b"RIFFdata"
+        assert r.getheader("Content-Type", "").startswith("audio/")
+        for bad in ("/cdn/../secret.txt", "/cdn/%2e%2e/secret.txt",
+                    "/cdn/missing.bin"):
+            conn = HTTPConnection("127.0.0.1", srv.server_address[1], timeout=60)
+            conn.request("GET", bad)
+            assert conn.getresponse().status == 404, bad
+    finally:
+        srv.shutdown()
+
+
 def test_default_audio_dir_kwarg(tmp_path):
     """make_server(default_audio_dir=...) loads .npy voices at startup."""
     rng = np.random.default_rng(6)
