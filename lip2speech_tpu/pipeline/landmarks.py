@@ -122,7 +122,8 @@ def box_iou(a, b) -> float:
 
 
 def detect_face_box(gray: np.ndarray, min_rel_size: float = 0.15,
-                    prior_box=None, motion: np.ndarray | None = None):
+                    prior_box=None, motion: np.ndarray | None = None,
+                    motion_noise: float | None = None):
     """Face bounding box from a local-variance saliency map.
 
     Faces are the high-texture blob in a talking-head frame (the serving
@@ -146,7 +147,7 @@ def detect_face_box(gray: np.ndarray, min_rel_size: float = 0.15,
     """
     from scipy.ndimage import label, uniform_filter
 
-    g = gray.astype(np.float64)
+    g = gray
     if g.ndim == 3:
         g = g.mean(axis=-1)
     full_h, full_w = g.shape
@@ -167,6 +168,10 @@ def detect_face_box(gray: np.ndarray, min_rel_size: float = 0.15,
     # k from the FULL frame scale even when searching a prior window: a
     # window-relative k weakens edge saliency, shrinking the box a little on
     # every tracked re-detect (compounding collapse)
+    # cast AFTER the prior-window crop (filtering the 1.3x window in f32 is
+    # ~10x cheaper than full-frame f64; saliency is threshold-based, so f32
+    # precision is ample)
+    g = g.astype(np.float32)
     k = max(5, min(full_h, full_w) // 10)
     mean = uniform_filter(g, k)
     var = np.clip(uniform_filter(g * g, k) - mean * mean, 0.0, None)
@@ -179,7 +184,7 @@ def detect_face_box(gray: np.ndarray, min_rel_size: float = 0.15,
     # between the high-variance features/edges) so one face = one component;
     # clutter farther than ~k pixels stays separate. The DILATED mask defines
     # connectivity only — box extent below uses the tight original mask.
-    bridged = uniform_filter(mask.astype(np.float64), k) > 0.08
+    bridged = uniform_filter(mask.astype(np.float32), k) > 0.08
     labels, n = label(bridged)
     if n == 0:
         return None
@@ -191,7 +196,10 @@ def detect_face_box(gray: np.ndarray, min_rel_size: float = 0.15,
     motion_box = None       # face-wide motion: the face outlines itself
     if motion is not None:
         mo = motion[oy:oy + h, ox:ox + w]
-        noise = float(np.median(motion))
+        # the motion map is clip-static: callers in a tracking loop pass the
+        # precomputed median (a full-frame partition per detect otherwise)
+        noise = (float(np.median(motion)) if motion_noise is None
+                 else motion_noise)
         if mo.size and mo.max() > max(4.0 * noise, 1.0):
             thr = max(0.15 * float(mo.max()), 2.5 * noise)
             mys, mxs = np.nonzero(mo > thr)
@@ -280,12 +288,19 @@ class HeuristicLandmarks:
 
     def __init__(self, nth_frame: int = DETECTION_NTH_FRAME,
                  refine_mouth: bool = True, smooth: float = 0.5,
-                 reject_iou: float = 0.15, max_rejects: int = 5):
+                 reject_iou: float = 0.15, max_rejects: int = 5,
+                 detect_downscale: int = 2):
         self.nth_frame = nth_frame
         self.refine_mouth = refine_mouth
         self.smooth = smooth
         self.reject_iou = reject_iou
         self.max_rejects = max_rejects
+        # detection at reduced resolution (the reference downscales to
+        # <= 500 px before its CNN, face_landmarks_server.py:103-111); the
+        # saliency box is coarse by construction, so half-res detection
+        # costs ~4x less filtering. Shape placement + mouth refinement stay
+        # at FULL resolution. 1 disables.
+        self.detect_downscale = max(1, detect_downscale)
 
     def _place_shape(self, box, frame: np.ndarray) -> np.ndarray:
         from lip2speech_tpu.pipeline.mouth_crop import default_mean_face
@@ -333,11 +348,13 @@ class HeuristicLandmarks:
             return None
         from scipy.ndimage import uniform_filter
 
-        g = frames.astype(np.float64)
+        # subsample BEFORE the float cast: casting the whole clip first
+        # materializes hundreds of MB (240 x 360 x 480 x 8B) for ~20 frames
+        step = max(1, (len(frames) - 1) // max_pairs)
+        g = frames[::step].astype(np.float32)
         if g.ndim == 4:
             g = g.mean(axis=-1)
-        step = max(1, (len(g) - 1) // max_pairs)
-        d = np.abs(np.diff(g[::step], axis=0)).mean(axis=0)
+        d = np.abs(np.diff(g, axis=0)).mean(axis=0)
         k = max(3, min(d.shape) // 30)
         return uniform_filter(d, k)
 
@@ -345,14 +362,23 @@ class HeuristicLandmarks:
         out: list[np.ndarray | None] = []
         box = None          # smoothed track
         rejects = 0
-        motion = self._motion_map(np.asarray(frames))
+        ds = self.detect_downscale
+        frames = np.asarray(frames)
+        small = frames[:, ::ds, ::ds] if ds > 1 else frames
+        motion = self._motion_map(small)
+        mnoise = float(np.median(motion)) if motion is not None else None
         for i, frame in enumerate(frames):
             if i % self.nth_frame == 0 or box is None:
                 # track locally around the current box; full-frame when lost
                 # or after too many rejected jumps (scene cut)
                 prior = None if (box is None or rejects >= self.max_rejects) \
                     else box
-                det = detect_face_box(frame, prior_box=prior, motion=motion)
+                if prior is not None and ds > 1:
+                    prior = tuple(v / ds for v in prior)
+                det = detect_face_box(small[i], prior_box=prior,
+                                      motion=motion, motion_noise=mnoise)
+                if det is not None and ds > 1:
+                    det = tuple(v * ds for v in det)
                 if det is not None:
                     plausible = True
                     if box is not None and rejects < self.max_rejects:

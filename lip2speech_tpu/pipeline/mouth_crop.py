@@ -55,17 +55,21 @@ def transform_points(m: np.ndarray, pts: np.ndarray) -> np.ndarray:
     return pts @ m[:2, :2].T + m[:2, 2]
 
 
-def warp_image(img: np.ndarray, m: np.ndarray, out_shape=STD_SIZE) -> np.ndarray:
+def warp_image(img: np.ndarray, m: np.ndarray, out_shape=STD_SIZE,
+               origin=(0, 0)) -> np.ndarray:
     """Warp img with forward transform m (src->dst), bilinear, uint8 out.
 
     Equivalent to skimage tf.warp(img, inverse_map=tform.inverse,
     output_shape=...) * 255 round-trip in align_mouth.py:33-44.
-    Coordinates are (x=col, y=row) like skimage transforms.
+    Coordinates are (x=col, y=row) like skimage transforms. `origin` offsets
+    the output window on the destination canvas: warping only the patch that
+    cut_patch would keep samples identical values at ~7x fewer points.
     """
     h_out, w_out = out_shape
     inv = np.linalg.inv(m)
     ys, xs = np.mgrid[0:h_out, 0:w_out]
-    coords = np.stack([xs.ravel(), ys.ravel()], axis=1).astype(np.float64)
+    coords = np.stack([xs.ravel() + origin[0], ys.ravel() + origin[1]],
+                      axis=1).astype(np.float64)
     src = transform_points(inv, coords)          # (N, 2) x,y in source
     sx, sy = src[:, 0], src[:, 1]
 
@@ -95,10 +99,11 @@ def warp_image(img: np.ndarray, m: np.ndarray, out_shape=STD_SIZE) -> np.ndarray
     return np.clip(out.reshape(out_shape_full), 0, 255).astype(np.uint8)
 
 
-def cut_patch(img: np.ndarray, landmarks: np.ndarray, height: int, width: int,
-              threshold: int = 5) -> np.ndarray:
-    """Crop 2*height x 2*width around the landmark centroid with the
-    reference's clamp/raise behavior (align_mouth.py:63-95)."""
+def patch_center(canvas_hw, landmarks: np.ndarray, height: int, width: int,
+                 threshold: int = 5) -> tuple[int, int]:
+    """Patch center (cy, cx) on a canvas of shape canvas_hw around the
+    landmark centroid, with the reference's clamp/raise behavior
+    (align_mouth.py:63-95)."""
     center_x, center_y = np.mean(landmarks, axis=0)
     if center_y - height < 0:
         center_y = height
@@ -108,15 +113,22 @@ def cut_patch(img: np.ndarray, landmarks: np.ndarray, height: int, width: int,
         center_x = width
     if center_x - width < 0 - threshold:
         raise ValueError("too much bias in width")
-    if center_y + height > img.shape[0]:
-        center_y = img.shape[0] - height
-    if center_y + height > img.shape[0] + threshold:
+    if center_y + height > canvas_hw[0]:
+        center_y = canvas_hw[0] - height
+    if center_y + height > canvas_hw[0] + threshold:
         raise ValueError("too much bias in height")
-    if center_x + width > img.shape[1]:
-        center_x = img.shape[1] - width
-    if center_x + width > img.shape[1] + threshold:
+    if center_x + width > canvas_hw[1]:
+        center_x = canvas_hw[1] - width
+    if center_x + width > canvas_hw[1] + threshold:
         raise ValueError("too much bias in width")
-    cy, cx = int(round(center_y)), int(round(center_x))
+    return int(round(center_y)), int(round(center_x))
+
+
+def cut_patch(img: np.ndarray, landmarks: np.ndarray, height: int, width: int,
+              threshold: int = 5) -> np.ndarray:
+    """Crop 2*height x 2*width around the landmark centroid with the
+    reference's clamp/raise behavior (align_mouth.py:63-95)."""
+    cy, cx = patch_center(img.shape[:2], landmarks, height, width, threshold)
     return img[cy - height : cy + height, cx - width : cx + width]
 
 
@@ -162,16 +174,23 @@ def crop_mouth_sequence(
     stable = list(STABLE_POINTS)
     out = []
     last_m = None
+    half = crop_size // 2
     for i in range(t):
         if i + margin <= t:
             window = np.mean([lms[j] for j in range(i, i + margin)], axis=0)
             last_m = estimate_similarity(window[stable], mean_face[stable])
         m = last_m
-        warped = warp_image(frames[i], m, STD_SIZE)
         warped_lm = transform_points(m, lms[i])
-        out.append(cut_patch(warped, warped_lm[start_idx:stop_idx],
-                             crop_size // 2, crop_size // 2))
+        # warp ONLY the patch cut_patch would keep (same clamp semantics on
+        # the 256x256 canvas, identical sampled values, ~7x fewer samples)
+        cy, cx = patch_center(STD_SIZE, warped_lm[start_idx:stop_idx],
+                              half, half)
+        out.append(warp_image(frames[i], m, (crop_size, crop_size),
+                              origin=(cx - half, cy - half)))
     return np.stack(out)
+
+
+_MEAN_FACE_CACHE: np.ndarray | None = None
 
 
 def default_mean_face() -> np.ndarray:
@@ -180,8 +199,12 @@ def default_mean_face() -> np.ndarray:
     Stand-in for 20words_mean_face.npy (external download in the reference);
     pass the real file for bit-parity with published checkpoints. Only the
     stable points (nose bridge + eye corners) and mouth region placement
-    matter for the crop geometry.
+    matter for the crop geometry. Cached (callers invoke it per frame);
+    returns a copy so mutation can't poison the cache.
     """
+    global _MEAN_FACE_CACHE
+    if _MEAN_FACE_CACHE is not None:
+        return _MEAN_FACE_CACHE.copy()
     pts = np.zeros((68, 2), np.float64)
     # jaw 0-16: ellipse
     ang = np.linspace(np.pi, 2 * np.pi, 17)
@@ -206,4 +229,5 @@ def default_mean_face() -> np.ndarray:
     ang = np.linspace(0, 2 * np.pi, 8, endpoint=False)
     pts[60:68, 0] = 128 + 14 * np.cos(ang)
     pts[60:68, 1] = 172 + 7 * np.sin(ang)
-    return pts
+    _MEAN_FACE_CACHE = pts
+    return pts.copy()
