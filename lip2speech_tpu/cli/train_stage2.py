@@ -74,9 +74,13 @@ def main(argv=None):
         start_epoch = int(state.epoch)
         if steps:
             print(f"resumed from step {steps}, epoch {start_epoch}")
+    from lip2speech_tpu.data.prefetch import prefetch
+
     t0 = time.time()
     for epoch in range(start_epoch, args.epochs):
-        for batch in ds.batches(cfg.stage2.batch_size):
+        # audio decode + segment sampling overlap the device step
+        # (fairseq/torch num_workers equivalent)
+        for batch in prefetch(ds.batches(cfg.stage2.batch_size), depth=2):
             batch = {k: v for k, v in batch.items() if k != "ids"}
             state, logs = step_fn(state, batch, jax.random.fold_in(rng, steps))
             steps += 1
