@@ -250,6 +250,17 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax-bench-cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+    # keep the ONE-JSON-line contract even when the TPU relay is down
+    # (observed: multi-hour axon outages raise at first device access)
+    try:
+        jax.devices()
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({
+            "metric": "e2e_video_to_wav_rtf", "value": None,
+            "unit": "x_realtime_per_chip", "vs_baseline": None,
+            "error": f"TPU backend unavailable: {e}"}))
+        raise SystemExit(1)
+
     details: dict = {}
 
     # headline: conformer-only preset, batch 4 x 9.6 s
