@@ -76,7 +76,7 @@ def _peak_flops():
     return next((p for s, p in PEAK_TFLOPS if s in kind), 197.0) * 1e12
 
 
-def _e2e(pipe_cfg_name, batch, frames, iters):
+def _e2e(pipe_cfg_name, batch, frames, iters, fused=False):
     import jax
     import jax.numpy as jnp
 
@@ -87,6 +87,11 @@ def _e2e(pipe_cfg_name, batch, frames, iters):
     # NOTE: VocoderConfig.mxu_fold stays OFF — the exact lane-packing
     # reformulation measured 4-6x SLOWER on the chip (NOTES r3: XLA
     # materializes the patch construction instead of fusing it)
+    if fused:
+        # VMEM-fused resblock trios (ops/pallas_fused_tail.py); main() falls
+        # back to the plain path if this fails to compile on the chip
+        cfg = dataclasses.replace(cfg, vocoder=dataclasses.replace(
+            cfg.vocoder, fused_tail_kernel=True))
     pipe = Lip2SpeechPipeline.initialize_random(cfg, seed=0, frames=8)
     # serving configuration: bf16 compute + device-side PCM16 output
     pipe.compute_dtype = jnp.bfloat16
@@ -263,8 +268,17 @@ def main():
 
     details: dict = {}
 
-    # headline: conformer-only preset, batch 4 x 9.6 s
-    rtf, _, fn, args = _e2e("multi_target", batch=4, frames=240, iters=10)
+    # headline: conformer-only preset, batch 4 x 9.6 s — fused vocoder-tail
+    # Pallas kernel first, plain XLA path as the safe fallback
+    fused = True
+    try:
+        rtf, _, fn, args = _e2e("multi_target", batch=4, frames=240,
+                                iters=10, fused=True)
+        details["fused_tail_kernel"] = True
+    except Exception as e:  # noqa: BLE001
+        fused = False
+        details["fused_tail_kernel"] = f"fallback: {e}"
+        rtf, _, fn, args = _e2e("multi_target", batch=4, frames=240, iters=10)
 
     # MFU from XLA's cost analysis of the e2e program
     try:
@@ -278,7 +292,8 @@ def main():
 
     # single-clip serving latency
     try:
-        _, p50, _, _ = _e2e("multi_target", batch=1, frames=240, iters=15)
+        _, p50, _, _ = _e2e("multi_target", batch=1, frames=240, iters=15,
+                            fused=fused)
         details["batch1_p50_ms"] = round(p50 * 1e3, 1)
     except Exception as e:  # noqa: BLE001
         details["batch1_p50_ms"] = f"error: {e}"
@@ -286,7 +301,7 @@ def main():
     # flagship AV-HuBERT frontend (co-headline, r2 next #10)
     try:
         frtf, _, ffn, fargs = _e2e("multi_target_avhubert", batch=4,
-                                   frames=240, iters=5)
+                                   frames=240, iters=5, fused=fused)
         details["flagship_rtf"] = round(frtf, 1)
         fcompiled = ffn.lower(*fargs).compile()
         fflops = float(fcompiled.cost_analysis()["flops"])

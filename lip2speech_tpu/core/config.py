@@ -172,6 +172,11 @@ class VocoderConfig:
     # layout: XLA pads thin minor dims to 128 lanes, so the unfolded tail
     # moves 8x/4x/2x the bytes in every op (NOTES r3 late profile). Exact.
     fold_tail: bool = True
+    # fuse each stage's whole resblock trio into one Pallas kernel (VMEM-
+    # resident; ops/pallas_fused_tail.py). Exact forward; gradients flow
+    # through the XLA path via custom_vjp. Off by default (serving turns it
+    # on — the pipeline sets it when running on TPU).
+    fused_tail_kernel: bool = False
 
     @property
     def total_upsample(self) -> int:

@@ -76,15 +76,22 @@ class WNConv1d(nn.Module):
     gfold: int = 1
 
     @nn.compact
+    def weights(self, in_dim: int):
+        """Create the (weight_v, weight_g, bias) params and return the
+        composed (w, b). Param structure is identical whether the conv runs
+        through __call__ or a fused kernel pulls the raw weights."""
+        fan_in = (in_dim // self.groups) * self.kernel_size
+        w = _wn_weight(self, (self.kernel_size, in_dim // self.groups, self.features),
+                       fan_in, self.init_std)
+        b = self.param("bias", torch_uniform_init(fan_in), (self.features,))
+        return w, b
+
     def __call__(self, x):
         in_dim = x.shape[-1]
         if self.gfold > 1:
             assert self.stride == 1 and self.groups == 1
             in_dim //= self.gfold
-        fan_in = (in_dim // self.groups) * self.kernel_size
-        w = _wn_weight(self, (self.kernel_size, in_dim // self.groups, self.features),
-                       fan_in, self.init_std)
-        b = self.param("bias", torch_uniform_init(fan_in), (self.features,))
+        w, b = self.weights(in_dim)
         from lip2speech_tpu.ops import fold_conv as fc
 
         if self.gfold > 1:
@@ -211,16 +218,42 @@ class ResBlock1(nn.Module):
     gfold: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def branch_weights(self):
+        """Composed (w, b) pairs for every conv: [((w1, b1), (w2, b2)), ...]
+        per dilation branch. The single compact method — both __call__ and
+        the generator's fused-tail path pull params through here, so the
+        checkpoint tree is identical either way."""
+        out = []
         for i, d in enumerate(self.dilations):
             pad1 = (self.kernel_size * d - d) // 2
             pad2 = (self.kernel_size - 1) // 2
+            c1 = WNConv1d(self.channels, self.kernel_size, padding=pad1,
+                          dilation=d, fold=self.fold, gfold=self.gfold,
+                          name=f"convs1_{i}")
+            c2 = WNConv1d(self.channels, self.kernel_size, padding=pad2,
+                          dilation=1, fold=self.fold, gfold=self.gfold,
+                          name=f"convs2_{i}")
+            out.append((c1.weights(self.channels), c2.weights(self.channels)))
+        return out
+
+    def _conv(self, x, w, b, pad: int, dil: int):
+        from lip2speech_tpu.ops import fold_conv as fc
+
+        if self.gfold > 1:
+            return fc.fold_conv1d_gblock(x, w, b, pad, dil, self.gfold)
+        if self.fold > 1:
+            return fc.fold_conv1d(x, w, b, pad, dil, self.fold)
+        return ops.conv1d(x, w, b, 1, pad, dil, 1)
+
+    def __call__(self, x):
+        ws = self.branch_weights()
+        for ((w1, b1), (w2, b2)), d in zip(ws, self.dilations):
+            pad1 = (self.kernel_size * d - d) // 2
+            pad2 = (self.kernel_size - 1) // 2
             xt = ops.leaky_relu(x, LRELU_SLOPE)
-            xt = WNConv1d(self.channels, self.kernel_size, padding=pad1, dilation=d,
-                          fold=self.fold, gfold=self.gfold, name=f"convs1_{i}")(xt)
+            xt = self._conv(xt, w1, b1, pad1, d)
             xt = ops.leaky_relu(xt, LRELU_SLOPE)
-            xt = WNConv1d(self.channels, self.kernel_size, padding=pad2, dilation=1,
-                          fold=self.fold, gfold=self.gfold, name=f"convs2_{i}")(xt)
+            xt = self._conv(xt, w2, b2, pad2, 1)
             x = xt + x
         return x
 
@@ -262,12 +295,26 @@ class HiFiGANGenerator(nn.Module):
                                   name=f"ups_{i}")(x)
             if gf > 1:
                 x = fc.fold_time(x, gf)
-            acc = None
-            for j, (rk, rd) in enumerate(zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)):
-                y = ResBlock1(ch, rk, tuple(rd), fold=f, gfold=gf,
-                              name=f"resblocks_{i * num_kernels + j}")(x)
-                acc = y if acc is None else acc + y
-            x = acc / num_kernels
+            rbs = [ResBlock1(ch, rk, tuple(rd), fold=f, gfold=gf,
+                             name=f"resblocks_{i * num_kernels + j}")
+                   for j, (rk, rd) in enumerate(
+                       zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes))]
+            if h.fused_tail_kernel and f == 1 and (gf * ch) % 128 == 0:
+                # whole trio fused in VMEM: one HBM read + write per stage
+                # (ops/pallas_fused_tail.py; XLA-path gradients via custom_vjp)
+                from lip2speech_tpu.ops.pallas_fused_tail import fused_resblock_trio
+
+                ws = [rb.branch_weights() for rb in rbs]
+                x = fused_resblock_trio(
+                    x, ws, gf, h.resblock_kernel_sizes,
+                    [tuple(rd) for rd in h.resblock_dilation_sizes],
+                    interpret=jax.devices()[0].platform != "tpu")
+            else:
+                acc = None
+                for rb in rbs:
+                    y = rb(x)
+                    acc = y if acc is None else acc + y
+                x = acc / num_kernels
             cur_f = gf
         x = ops.leaky_relu(x, 0.01)  # torch F.leaky_relu default slope here
         if cur_f > 1:

@@ -1,0 +1,268 @@
+"""Fused HiFi-GAN resblock-trio Pallas kernel (the vocoder tail, in VMEM).
+
+Reference semantics: speech-resynthesis/models.py:16-114 — after each
+upsample, the generator runs THREE ResBlock1 modules (kernel 3/7/11, each
+with dilation branches 1/3/5 of [lrelu -> dilated conv -> lrelu -> conv ->
+residual add]) and averages them. That is 18 convs + ~21 elementwise passes
+over the same activation per stage; at the 16-64-channel tail every XLA op
+is a full HBM round trip, and the r3 profile (NOTES.md) measured the three
+tail trios at 5.3/4.4/3.6 ms — 3-5x above their compute bound — AFTER the
+folded-layout fix removed the 8x lane-padding traffic.
+
+This kernel runs the WHOLE trio per grid tile inside VMEM: one HBM read of
+the input tile (with halo), 60-150 static (rows, 128)@(128, 128) MXU
+matmuls, one HBM write of the averaged output. Convs use the exact G-block
+form of ops/fold_conv.py (y_folded = sum_g row_shift_g(x_folded) @ Wg) with
+one improvement: shift blocks whose weight matrix is entirely zero (fold <
+dilation leaves gaps in the tap-position lattice) are skipped, cutting the
+matmul count ~20-40% at fold=1/2.
+
+Exactness: same MACs as the XLA folded path (plus zeros), f32 accumulation,
+bias added after the cast to the activation dtype — mirroring
+fold_conv1d_gblock so the two paths agree to accumulation order.
+
+Differentiable: jax.custom_vjp whose backward recomputes through the XLA
+reference implementation (`trio_xla`, also the parity oracle in
+tests/test_fused_tail.py) — the fused forward is inference-speed, training
+gradients are the already-tested XLA ones.
+
+Runs compiled on TPU; interpret mode elsewhere (CPU tests).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lip2speech_tpu.ops import nn as ops
+from lip2speech_tpu.ops.fold_conv import fold_conv1d_gblock, gblock_geometry
+
+LRELU_SLOPE = 0.1
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def branch_paddings(kernel: int, dilation: int) -> tuple[int, int]:
+    """torch get_padding for the (dilated, plain) conv pair of a branch."""
+    return (kernel * dilation - dilation) // 2, (kernel - 1) // 2
+
+
+@dataclasses.dataclass(frozen=True)
+class _ConvGeom:
+    """Static geometry of one conv inside the kernel."""
+
+    offsets: tuple[int, ...]  # absolute row shifts (one per nonzero block)
+    goff: int                 # first row of this conv's blocks in wg_all
+    bias_idx: int             # row of the folded bias in bias_all
+
+
+def _occupied_blocks(kernel: int, dilation: int, pad: int, fold: int):
+    """(q0, sorted occupied g list): which row-shift blocks have any tap.
+
+    Block g of the G-block decomposition holds tap (f, j) iff
+    (f + j*dilation - pad - q0*fold) // fold == g; when fold < dilation the
+    tap-position lattice leaves whole blocks empty — skip them.
+    """
+    q0, _ = gblock_geometry(kernel, dilation, pad, fold)
+    occ = sorted({(f + j * dilation - pad - q0 * fold) // fold
+                  for f in range(fold) for j in range(kernel)})
+    return q0, occ
+
+
+def _sparse_gblock_weights(w: jnp.ndarray, pad: int, dilation: int,
+                           fold: int) -> tuple[jnp.ndarray, list[int]]:
+    """(K, C, Co) -> ((n_occ, fold*C, fold*Co) blocks, absolute row offsets).
+
+    Same placement as fold_conv.gblock_weights, restricted to occupied
+    blocks. Static Python construction (small tensors), traced once.
+    """
+    K, C, Co = w.shape
+    q0, occ = _occupied_blocks(K, dilation, pad, fold)
+    gmap = {g: i for i, g in enumerate(occ)}
+    Wg = jnp.zeros((len(occ), fold * C, fold * Co), w.dtype)
+    for f in range(fold):
+        for j in range(K):
+            s = f + j * dilation - pad - q0 * fold
+            g, u = divmod(s, fold)
+            Wg = Wg.at[gmap[g], u * C:(u + 1) * C, f * Co:(f + 1) * Co].add(w[j])
+    return Wg, [q0 + g for g in occ]
+
+
+def trio_xla(xf: jnp.ndarray, weights, fold: int,
+             kernel_sizes: Sequence[int],
+             dilation_sizes: Sequence[Sequence[int]]) -> jnp.ndarray:
+    """Reference XLA implementation on the folded layout (exact semantics of
+    the ResBlock1 loop in models/vocoder.py). weights: per resblock, per
+    dilation branch, ((w1, b1), (w2, b2)) raw conv params (K, C, C)/(C,)."""
+    acc = None
+    for rb, (k, dils) in zip(weights, zip(kernel_sizes, dilation_sizes)):
+        xb = xf
+        for ((w1, b1), (w2, b2)), d in zip(rb, dils):
+            pad1, pad2 = branch_paddings(k, d)
+            xt = ops.leaky_relu(xb, LRELU_SLOPE)
+            xt = fold_conv1d_gblock(xt, w1, b1, pad1, d, fold)
+            xt = ops.leaky_relu(xt, LRELU_SLOPE)
+            xt = fold_conv1d_gblock(xt, w2, b2, pad2, 1, fold)
+            xb = xb + xt
+        acc = xb if acc is None else acc + xb
+    return acc / len(weights)
+
+
+def _build_tables(weights, fold, kernel_sizes, dilation_sizes, dtype):
+    """Stack every conv's sparse G-blocks + folded biases; return the static
+    per-conv geometry, chain halo H, and guard band S."""
+    wg_parts, bias_rows, geoms = [], [], []
+    goff = 0
+    halos = []
+    max_margin = 0
+    for rb, (k, dils) in zip(weights, zip(kernel_sizes, dilation_sizes)):
+        chain = 0
+        rb_geoms = []
+        for ((w1, b1), (w2, b2)), d in zip(rb, dils):
+            pad1, pad2 = branch_paddings(k, d)
+            for w, b, pad, dil in ((w1, b1, pad1, d), (w2, b2, pad2, 1)):
+                Wg, offs = _sparse_gblock_weights(w.astype(dtype), pad, dil, fold)
+                m = max(-min(offs), max(offs))
+                chain += m
+                max_margin = max(max_margin, m)
+                rb_geoms.append(_ConvGeom(tuple(offs), goff, len(bias_rows)))
+                goff += len(offs)
+                wg_parts.append(Wg)
+                bias_rows.append(jnp.tile(b, fold).astype(dtype))
+        halos.append(chain)
+        geoms.append(rb_geoms)
+    wg_all = jnp.concatenate(wg_parts, axis=0)
+    bias_all = jnp.stack(bias_rows, axis=0)
+    H = max(halos)
+    S = max(16, _round_up(max_margin, 16))
+    return wg_all, bias_all, geoms, H, S
+
+
+def _fused_forward(xf, weights, fold, kernel_sizes, dilation_sizes,
+                   interpret, block_rows):
+    B, M, L = xf.shape
+    dtype = xf.dtype
+    n_res = len(weights)
+    wg_all, bias_all, geoms, H, S = _build_tables(
+        weights, fold, kernel_sizes, dilation_sizes, dtype)
+
+    MT = min(block_rows, _round_up(M, 8))
+    n_tiles = -(-M // MT)
+    Mc = n_tiles * MT
+    MT2 = MT + 2 * H
+    BUF = MT2 + 2 * S
+
+    # pad rows: H halo each side + round M up to a tile multiple (zeros =
+    # zero samples, exactly the conv's own boundary condition)
+    xp = jnp.pad(xf, ((0, 0), (H, H + (Mc - M)), (0, 0)))
+
+    inv_n = np.asarray(1.0 / n_res, dtype=np.float32)
+
+    def kernel(x_hbm, wg_ref, b_ref, o_ref, xin, sem):
+        bi = pl.program_id(0)
+        ti = pl.program_id(1)
+
+        # Rows of the buffer that lie OUTSIDE the true sequence [0, M) must
+        # stay zero after every conv (each conv zero-pads its own input at
+        # the sequence ends; without the mask the bias/edge taps would
+        # fabricate a "virtual extension" that leaks into the next conv).
+        # Buffer row r holds padded-input row ti*MT + r - S; true sequence
+        # rows are padded rows [H, H + M).
+        xprow = (jax.lax.broadcasted_iota(jnp.int32, (BUF, 1), 0)
+                 + ti * MT - S)
+        in_seq = (xprow >= H) & (xprow < H + M)
+
+        def conv(x_val, geom: _ConvGeom):
+            accm = None
+            for i, off in enumerate(geom.offsets):
+                sh = jax.lax.slice_in_dim(x_val, S + off, S + off + MT2,
+                                          axis=0)
+                t = jnp.dot(sh, wg_ref[geom.goff + i],
+                            preferred_element_type=jnp.float32)
+                accm = t if accm is None else accm + t
+            y = accm.astype(dtype) + b_ref[geom.bias_idx][None, :]
+            zeros = jnp.zeros((S, L), dtype)
+            y = jnp.concatenate([zeros, y, zeros], axis=0)
+            return jnp.where(in_seq, y, jnp.zeros((), dtype))
+        xin[0:S, :] = jnp.zeros((S, L), dtype)
+        xin[S + MT2:, :] = jnp.zeros((S, L), dtype)
+        dma = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(ti * MT, MT2), :],
+            xin.at[pl.ds(S, MT2), :], sem)
+        dma.start()
+        dma.wait()
+        x = xin[:]
+        acc = None
+        for rb_geoms in geoms:
+            xb = x
+            for br in range(len(rb_geoms) // 2):
+                xt = ops.leaky_relu(xb, LRELU_SLOPE)
+                xt = conv(xt, rb_geoms[2 * br])
+                xt = ops.leaky_relu(xt, LRELU_SLOPE)
+                xt = conv(xt, rb_geoms[2 * br + 1])
+                xb = xb + xt
+            acc = xb if acc is None else acc + xb
+        out = acc * jnp.asarray(inv_n, dtype)
+        o_ref[0, :, :] = jax.lax.slice_in_dim(out, S + H, S + H + MT, axis=0)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, MT, L), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Mc, L), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BUF, L), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, wg_all, bias_all)
+    return y[:, :M, :]
+
+
+def fused_resblock_trio(xf: jnp.ndarray, weights, fold: int,
+                        kernel_sizes: Sequence[int],
+                        dilation_sizes: Sequence[Sequence[int]],
+                        *, interpret: bool = False,
+                        block_rows: int = 1024) -> jnp.ndarray:
+    """Mean of the HiFi-GAN resblocks on folded input, fused in VMEM.
+
+    xf: (B, M, fold*C) folded activations, fold*C a multiple of 128.
+    weights: per resblock, per dilation branch, ((w1, b1), (w2, b2)) with w
+    of shape (K, C, C). Forward runs the Pallas kernel; gradients recompute
+    through the XLA reference path (same math, already test-pinned).
+    """
+    L = xf.shape[-1]
+    assert L % 128 == 0, f"fused tail needs 128-multiple lanes, got {L}"
+    ks = tuple(kernel_sizes)
+    ds_ = tuple(tuple(d) for d in dilation_sizes)
+
+    @jax.custom_vjp
+    def run(xf, weights):
+        return _fused_forward(xf, weights, fold, ks, ds_, interpret,
+                              block_rows)
+
+    def run_fwd(xf, weights):
+        return run(xf, weights), (xf, weights)
+
+    def run_bwd(res, g):
+        xf, weights = res
+        _, vjp = jax.vjp(lambda x, w: trio_xla(x, w, fold, ks, ds_),
+                         xf, weights)
+        return vjp(g.astype(xf.dtype))
+
+    run.defvjp(run_fwd, run_bwd)
+    return run(xf, weights)
