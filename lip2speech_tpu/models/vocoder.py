@@ -299,9 +299,12 @@ class HiFiGANGenerator(nn.Module):
                              name=f"resblocks_{i * num_kernels + j}")
                    for j, (rk, rd) in enumerate(
                        zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes))]
-            if h.fused_tail_kernel and f == 1 and (gf * ch) % 128 == 0:
+            if h.fused_tail_kernel and f == 1 and gf * ch == 128:
                 # whole trio fused in VMEM: one HBM read + write per stage
-                # (ops/pallas_fused_tail.py; XLA-path gradients via custom_vjp)
+                # (ops/pallas_fused_tail.py; XLA-path gradients via
+                # custom_vjp). Exactly-128-lane stages only: the wider
+                # ch-256 stage's G-block weight table alone would exceed
+                # VMEM (126 blocks x 256 x 256)
                 from lip2speech_tpu.ops.pallas_fused_tail import fused_resblock_trio
 
                 ws = [rb.branch_weights() for rb in rbs]

@@ -164,8 +164,6 @@ def _fused_forward(xf, weights, fold, kernel_sizes, dilation_sizes,
     # zero samples, exactly the conv's own boundary condition)
     xp = jnp.pad(xf, ((0, 0), (H, H + (Mc - M)), (0, 0)))
 
-    inv_n = np.asarray(1.0 / n_res, dtype=np.float32)
-
     def kernel(x_hbm, wg_ref, b_ref, o_ref, xin, sem):
         bi = pl.program_id(0)
         ti = pl.program_id(1)
@@ -188,14 +186,18 @@ def _fused_forward(xf, weights, fold, kernel_sizes, dilation_sizes,
                 t = jnp.dot(sh, wg_ref[geom.goff + i],
                             preferred_element_type=jnp.float32)
                 accm = t if accm is None else accm + t
-            y = accm.astype(dtype) + b_ref[geom.bias_idx][None, :]
+            y = accm.astype(dtype) + b_ref[geom.bias_idx:geom.bias_idx + 1, :]
             zeros = jnp.zeros((S, L), dtype)
             y = jnp.concatenate([zeros, y, zeros], axis=0)
             return jnp.where(in_seq, y, jnp.zeros((), dtype))
         xin[0:S, :] = jnp.zeros((S, L), dtype)
         xin[S + MT2:, :] = jnp.zeros((S, L), dtype)
+        # MT is a multiple of 8 by construction — tell Mosaic (dynamic DMA
+        # offsets without provable alignment have failed to compile before:
+        # NOTES r3, flash band-table offsets)
+        row0 = pl.multiple_of(ti * MT, 8)
         dma = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(ti * MT, MT2), :],
+            x_hbm.at[bi, pl.ds(row0, MT2), :],
             xin.at[pl.ds(S, MT2), :], sem)
         dma.start()
         dma.wait()
@@ -210,7 +212,7 @@ def _fused_forward(xf, weights, fold, kernel_sizes, dilation_sizes,
                 xt = conv(xt, rb_geoms[2 * br + 1])
                 xb = xb + xt
             acc = xb if acc is None else acc + xb
-        out = acc * jnp.asarray(inv_n, dtype)
+        out = acc / n_res  # divide (not mul-by-inverse): matches trio_xla
         o_ref[0, :, :] = jax.lax.slice_in_dim(out, S + H, S + H + MT, axis=0)
 
     y = pl.pallas_call(
