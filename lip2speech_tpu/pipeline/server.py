@@ -817,6 +817,9 @@ def main():
                         "random-weight smoke pipeline is served.")
     p.add_argument("--bf16", action="store_true",
                    help="serve in bfloat16 (casts weights+activations)")
+    p.add_argument("--no-fused-tail", action="store_true",
+                   help="disable the VMEM-fused vocoder-tail Pallas kernel "
+                        "(auto-enabled when serving on TPU)")
     p.add_argument("--batcher", action="store_true",
                    help="coalesce concurrent requests into batched device calls")
     p.add_argument("--warmup", action="store_true",
@@ -854,7 +857,8 @@ def main():
                   f"stage1={s1_path} vocoder={voc_path}")
             pipelines[name] = Lip2SpeechPipeline.from_checkpoints(
                 preset(preset_name), s1_path, voc_path,
-                compute_dtype=dtype, emit_int16=False)
+                compute_dtype=dtype, emit_int16=False,
+                fused_tail=False if args.no_fused_tail else None)
     else:
         print("WARNING: no --checkpoint given; serving RANDOM weights "
               "(smoke-test mode)")

@@ -80,6 +80,7 @@ class Lip2SpeechPipeline:
         compute_dtype: Any = None,
         emit_int16: bool = False,
         mesh=None,
+        fused_tail: bool | None = None,
     ):
         """compute_dtype=jnp.bfloat16 casts weights + activations for the
         serving path (HBM-bandwidth win on TPU); logits/softmax/norms stay in
@@ -91,10 +92,21 @@ class Lip2SpeechPipeline:
         data-parallel serving — the request batch is sharded over chips,
         params replicated (GSPMD inserts no collectives in the forward, so
         throughput scales linearly with the mesh). synthesise_batch pads
-        ragged batches up to a multiple of the data axis."""
+        ragged batches up to a multiple of the data axis.
+
+        fused_tail: run the vocoder's 128-lane stages as VMEM-fused Pallas
+        trios (ops/pallas_fused_tail.py; exact, same checkpoint tree).
+        None = auto: on when serving on TPU, off elsewhere."""
+        import dataclasses as _dc
+
         self.cfg = cfg
         self.model = MultiTargetModel(cfg.model)
-        self.vocoder = MelCodeGenerator(cfg.vocoder)
+        if fused_tail is None:
+            fused_tail = jax.devices()[0].platform == "tpu"
+        voc_cfg = cfg.vocoder
+        if fused_tail and not voc_cfg.fused_tail_kernel:
+            voc_cfg = _dc.replace(voc_cfg, fused_tail_kernel=True)
+        self.vocoder = MelCodeGenerator(voc_cfg)
         self.stage1_variables = stage1_variables
         self.vocoder_params = vocoder_params
         self.compute_dtype = compute_dtype
@@ -105,18 +117,21 @@ class Lip2SpeechPipeline:
     @classmethod
     def from_checkpoints(cls, cfg: PipelineConfig, stage1_path: str | Path,
                          vocoder_path: str | Path, compute_dtype: Any = None,
-                         emit_int16: bool = False) -> "Lip2SpeechPipeline":
+                         emit_int16: bool = False,
+                         fused_tail: bool | None = None) -> "Lip2SpeechPipeline":
         """Real-weight pipeline from checkpoints: each path is either a torch
         .pt (converted on load, reference inference_server.py:106-176 preloads
         the published .pt pair the same way) or a native orbax directory
         (s1_* / g_*)."""
         return cls(cfg, load_stage1_variables(stage1_path, cfg),
                    load_vocoder_params(vocoder_path, cfg),
-                   compute_dtype=compute_dtype, emit_int16=emit_int16)
+                   compute_dtype=compute_dtype, emit_int16=emit_int16,
+                   fused_tail=fused_tail)
 
     @classmethod
     def initialize_random(cls, cfg: PipelineConfig, seed: int = 0,
-                          frames: int = 8) -> "Lip2SpeechPipeline":
+                          frames: int = 8,
+                          fused_tail: bool | None = None) -> "Lip2SpeechPipeline":
         """Random-weight pipeline (benchmarks / smoke tests)."""
         rng = jax.random.PRNGKey(seed)
         r1, r2 = jax.random.split(rng)
@@ -129,7 +144,8 @@ class Lip2SpeechPipeline:
         code = jnp.zeros((1, 2 * frames), jnp.int32)
         mel = jnp.zeros((1, 4 * frames, cfg.model.mel_dim))
         v_vars = vocoder.init({"params": r2}, code, mel, spk, deterministic=True)
-        return cls(cfg, dict(s1_vars), dict(v_vars["params"]))
+        return cls(cfg, dict(s1_vars), dict(v_vars["params"]),
+                   fused_tail=fused_tail)
 
     def _build(self, _signature=None):
         """Build the jitted e2e fn (one compile per input signature via jit)."""
