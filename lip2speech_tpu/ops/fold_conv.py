@@ -161,18 +161,22 @@ def gblock_geometry(kernel: int, dilation: int, pad: int, fold: int):
 def gblock_weights(w: jnp.ndarray, pad: int, dilation: int, fold: int) -> jnp.ndarray:
     """(K, C, Co) conv weight -> (G, fold*C, fold*Co) block weights.
 
-    Built with a static (K*fold)-step placement loop — traced once under jit;
-    the result is a small tensor (G x 128 x 128 for the tail stages).
+    Built as ONE einsum against a constant one-hot placement tensor: w is a
+    traced param, so the scatter-style build would put K*fold tiny
+    dynamic-update-slices per conv into every step's graph. Exact — each
+    (f, j) tap occupies a distinct cell (taps of one output phase land on
+    distinct window offsets), so the one-hot contraction copies w values.
     """
     K, C, Co = w.shape
     q0, G = gblock_geometry(K, dilation, pad, fold)
-    Wg = jnp.zeros((G, fold * C, fold * Co), w.dtype)
+    P = np.zeros((G, fold, fold, K), np.float32)
     for f in range(fold):
         for j in range(K):
             s = f + j * dilation - pad - q0 * fold
             g, u = divmod(s, fold)
-            Wg = Wg.at[g, u * C:(u + 1) * C, f * Co:(f + 1) * Co].add(w[j])
-    return Wg
+            P[g, u, f, j] = 1.0
+    Wg = jnp.einsum("gufj,jio->guifo", jnp.asarray(P, w.dtype), w)
+    return Wg.reshape(G, fold * C, fold * Co)
 
 
 def fold_conv1d_gblock(xf: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None,

@@ -82,17 +82,23 @@ def _sparse_gblock_weights(w: jnp.ndarray, pad: int, dilation: int,
     """(K, C, Co) -> ((n_occ, fold*C, fold*Co) blocks, absolute row offsets).
 
     Same placement as fold_conv.gblock_weights, restricted to occupied
-    blocks. Static Python construction (small tensors), traced once.
+    blocks, built as ONE einsum against a constant one-hot placement tensor
+    — w is a traced param, so a scatter-style build would put ~K*fold tiny
+    dynamic-update-slices PER CONV into the serving graph (~1000 dispatches
+    per stage); the one-hot contraction is a single fusable op. Exact: every
+    (f, j) tap lands in a distinct cell, so the one-hot sum copies w values.
     """
     K, C, Co = w.shape
     q0, occ = _occupied_blocks(K, dilation, pad, fold)
     gmap = {g: i for i, g in enumerate(occ)}
-    Wg = jnp.zeros((len(occ), fold * C, fold * Co), w.dtype)
+    P = np.zeros((len(occ), fold, fold, K), np.float32)
     for f in range(fold):
         for j in range(K):
             s = f + j * dilation - pad - q0 * fold
             g, u = divmod(s, fold)
-            Wg = Wg.at[gmap[g], u * C:(u + 1) * C, f * Co:(f + 1) * Co].add(w[j])
+            P[gmap[g], u, f, j] = 1.0
+    Wg = jnp.einsum("gufj,jio->guifo", jnp.asarray(P, w.dtype), w)
+    Wg = Wg.reshape(len(occ), fold * C, fold * Co)
     return Wg, [q0 + g for g in occ]
 
 
