@@ -87,12 +87,12 @@ def _e2e(pipe_cfg_name, batch, frames, iters, fused=False):
     # NOTE: VocoderConfig.mxu_fold stays OFF — the exact lane-packing
     # reformulation measured 4-6x SLOWER on the chip (NOTES r3: XLA
     # materializes the patch construction instead of fusing it)
-    if fused:
-        # VMEM-fused resblock trios (ops/pallas_fused_tail.py); main() falls
-        # back to the plain path if this fails to compile on the chip
-        cfg = dataclasses.replace(cfg, vocoder=dataclasses.replace(
-            cfg.vocoder, fused_tail_kernel=True))
-    pipe = Lip2SpeechPipeline.initialize_random(cfg, seed=0, frames=8)
+    # fused=True: VMEM-fused resblock trios (ops/pallas_fused_tail.py);
+    # main() falls back to fused=False if compile fails on the chip. The
+    # explicit fused_tail=... override matters: the pipeline AUTO-enables
+    # the kernel on TPU, so the fallback must force it off.
+    pipe = Lip2SpeechPipeline.initialize_random(cfg, seed=0, frames=8,
+                                                fused_tail=fused)
     # serving configuration: bf16 compute + device-side PCM16 output
     pipe.compute_dtype = jnp.bfloat16
     pipe.emit_int16 = True

@@ -223,10 +223,11 @@ class ResBlock1(nn.Module):
         per dilation branch. The single compact method — both __call__ and
         the generator's fused-tail path pull params through here, so the
         checkpoint tree is identical either way."""
+        from lip2speech_tpu.ops.pallas_fused_tail import branch_paddings
+
         out = []
         for i, d in enumerate(self.dilations):
-            pad1 = (self.kernel_size * d - d) // 2
-            pad2 = (self.kernel_size - 1) // 2
+            pad1, pad2 = branch_paddings(self.kernel_size, d)
             c1 = WNConv1d(self.channels, self.kernel_size, padding=pad1,
                           dilation=d, fold=self.fold, gfold=self.gfold,
                           name=f"convs1_{i}")
@@ -246,10 +247,11 @@ class ResBlock1(nn.Module):
         return ops.conv1d(x, w, b, 1, pad, dil, 1)
 
     def __call__(self, x):
+        from lip2speech_tpu.ops.pallas_fused_tail import branch_paddings
+
         ws = self.branch_weights()
         for ((w1, b1), (w2, b2)), d in zip(ws, self.dilations):
-            pad1 = (self.kernel_size * d - d) // 2
-            pad2 = (self.kernel_size - 1) // 2
+            pad1, pad2 = branch_paddings(self.kernel_size, d)
             xt = ops.leaky_relu(x, LRELU_SLOPE)
             xt = self._conv(xt, w1, b1, pad1, d)
             xt = ops.leaky_relu(xt, LRELU_SLOPE)

@@ -158,25 +158,41 @@ def gblock_geometry(kernel: int, dilation: int, pad: int, fold: int):
     return q0, G
 
 
+def gblock_placement(kernel: int, dilation: int, pad: int, fold: int,
+                     sparse: bool = False):
+    """One-hot tap-placement tensor (n_blocks, fold, fold, K) + the absolute
+    row offset of each block.
+
+    Tap (f, j) lands in block g = (f + j*dilation - pad - q0*fold) // fold at
+    sub-row u, input phase f. sparse=True keeps only blocks that hold at
+    least one tap (fold < dilation leaves whole blocks empty — the fused
+    kernel skips them; the dense form matches gblock_geometry's G range).
+    This is THE placement lattice — both the XLA folded path and the Pallas
+    fused kernel build their weight tables from it, so they cannot drift.
+    """
+    q0, G = gblock_geometry(kernel, dilation, pad, fold)
+    cells = [(f, j, *divmod(f + j * dilation - pad - q0 * fold, fold))
+             for f in range(fold) for j in range(kernel)]
+    occ = sorted({g for (_, _, g, _) in cells}) if sparse else list(range(G))
+    gmap = {g: i for i, g in enumerate(occ)}
+    P = np.zeros((len(occ), fold, fold, kernel), np.float32)
+    for f, j, g, u in cells:
+        P[gmap[g], u, f, j] = 1.0
+    return P, [q0 + g for g in occ]
+
+
 def gblock_weights(w: jnp.ndarray, pad: int, dilation: int, fold: int) -> jnp.ndarray:
     """(K, C, Co) conv weight -> (G, fold*C, fold*Co) block weights.
 
-    Built as ONE einsum against a constant one-hot placement tensor: w is a
-    traced param, so the scatter-style build would put K*fold tiny
+    Built as ONE einsum against the constant one-hot placement tensor: w is
+    a traced param, so a scatter-style build would put K*fold tiny
     dynamic-update-slices per conv into every step's graph. Exact — each
-    (f, j) tap occupies a distinct cell (taps of one output phase land on
-    distinct window offsets), so the one-hot contraction copies w values.
+    (f, j) tap occupies a distinct cell, so the contraction copies w values.
     """
     K, C, Co = w.shape
-    q0, G = gblock_geometry(K, dilation, pad, fold)
-    P = np.zeros((G, fold, fold, K), np.float32)
-    for f in range(fold):
-        for j in range(K):
-            s = f + j * dilation - pad - q0 * fold
-            g, u = divmod(s, fold)
-            P[g, u, f, j] = 1.0
+    P, offs = gblock_placement(K, dilation, pad, fold)
     Wg = jnp.einsum("gufj,jio->guifo", jnp.asarray(P, w.dtype), w)
-    return Wg.reshape(G, fold * C, fold * Co)
+    return Wg.reshape(len(offs), fold * C, fold * Co)
 
 
 def fold_conv1d_gblock(xf: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None,

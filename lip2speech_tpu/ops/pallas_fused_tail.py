@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lip2speech_tpu.ops import nn as ops
-from lip2speech_tpu.ops.fold_conv import fold_conv1d_gblock, gblock_geometry
+from lip2speech_tpu.ops.fold_conv import fold_conv1d_gblock, gblock_placement
 
 LRELU_SLOPE = 0.1
 
@@ -64,42 +64,19 @@ class _ConvGeom:
     bias_idx: int             # row of the folded bias in bias_all
 
 
-def _occupied_blocks(kernel: int, dilation: int, pad: int, fold: int):
-    """(q0, sorted occupied g list): which row-shift blocks have any tap.
-
-    Block g of the G-block decomposition holds tap (f, j) iff
-    (f + j*dilation - pad - q0*fold) // fold == g; when fold < dilation the
-    tap-position lattice leaves whole blocks empty — skip them.
-    """
-    q0, _ = gblock_geometry(kernel, dilation, pad, fold)
-    occ = sorted({(f + j * dilation - pad - q0 * fold) // fold
-                  for f in range(fold) for j in range(kernel)})
-    return q0, occ
-
-
 def _sparse_gblock_weights(w: jnp.ndarray, pad: int, dilation: int,
                            fold: int) -> tuple[jnp.ndarray, list[int]]:
     """(K, C, Co) -> ((n_occ, fold*C, fold*Co) blocks, absolute row offsets).
 
-    Same placement as fold_conv.gblock_weights, restricted to occupied
-    blocks, built as ONE einsum against a constant one-hot placement tensor
-    — w is a traced param, so a scatter-style build would put ~K*fold tiny
-    dynamic-update-slices PER CONV into the serving graph (~1000 dispatches
-    per stage); the one-hot contraction is a single fusable op. Exact: every
-    (f, j) tap lands in a distinct cell, so the one-hot sum copies w values.
+    Shares fold_conv.gblock_placement (THE tap lattice — fused and XLA
+    paths cannot drift) restricted to occupied blocks, contracted as ONE
+    einsum: w is a traced param, so a scatter-style build would put ~K*fold
+    tiny dynamic-update-slices PER CONV into the serving graph.
     """
     K, C, Co = w.shape
-    q0, occ = _occupied_blocks(K, dilation, pad, fold)
-    gmap = {g: i for i, g in enumerate(occ)}
-    P = np.zeros((len(occ), fold, fold, K), np.float32)
-    for f in range(fold):
-        for j in range(K):
-            s = f + j * dilation - pad - q0 * fold
-            g, u = divmod(s, fold)
-            P[gmap[g], u, f, j] = 1.0
+    P, offs = gblock_placement(K, dilation, pad, fold, sparse=True)
     Wg = jnp.einsum("gufj,jio->guifo", jnp.asarray(P, w.dtype), w)
-    Wg = Wg.reshape(len(occ), fold * C, fold * Co)
-    return Wg, [q0 + g for g in occ]
+    return Wg.reshape(len(offs), fold * C, fold * Co), offs
 
 
 def trio_xla(xf: jnp.ndarray, weights, fold: int,
@@ -225,7 +202,7 @@ def _fused_forward(xf, weights, fold, kernel_sizes, dilation_sizes,
         kernel,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -255,6 +232,8 @@ def fused_resblock_trio(xf: jnp.ndarray, weights, fold: int,
     """
     L = xf.shape[-1]
     assert L % 128 == 0, f"fused tail needs 128-multiple lanes, got {L}"
+    # the kernel promises Mosaic 8-row-aligned DMA offsets (ti * MT)
+    block_rows = _round_up(block_rows, 8)
     ks = tuple(kernel_sizes)
     ds_ = tuple(tuple(d) for d in dilation_sizes)
 

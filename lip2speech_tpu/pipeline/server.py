@@ -790,10 +790,12 @@ def make_server(port: int = 5002,
                 cfg: PipelineConfig | None = None,
                 db_path: str = ":memory:",
                 use_batcher: bool = False,
+                fused_tail: bool | None = None,
                 **state_kw) -> ThreadingHTTPServer:
     if pipelines is None:
         cfg = cfg or preset("multi_target")
-        pipelines = {"multi_target": Lip2SpeechPipeline.initialize_random(cfg)}
+        pipelines = {"multi_target": Lip2SpeechPipeline.initialize_random(
+            cfg, fused_tail=fused_tail)}
     state = ServerState(pipelines, active=sorted(pipelines)[0], db_path=db_path,
                         use_batcher=use_batcher, **state_kw)
     handler = type("BoundHandler", (Handler,), {"state": state})
@@ -866,6 +868,7 @@ def main():
 
     server = make_server(args.port, pipelines=pipelines, db_path=args.db,
                          use_batcher=args.batcher,
+                         fused_tail=False if args.no_fused_tail else None,
                          default_audio_dir=args.default_audio_dir,
                          asr=try_load_asr(args.asr_model),
                          static_dir=args.static_dir)

@@ -96,16 +96,19 @@ class Lip2SpeechPipeline:
 
         fused_tail: run the vocoder's 128-lane stages as VMEM-fused Pallas
         trios (ops/pallas_fused_tail.py; exact, same checkpoint tree).
-        None = auto: on when serving on TPU, off elsewhere."""
+        None = auto: on when serving on TPU or when the config opted in,
+        off elsewhere. True/False force it either way (False is the
+        escape hatch even for a config that enabled it)."""
         import dataclasses as _dc
 
         self.cfg = cfg
         self.model = MultiTargetModel(cfg.model)
-        if fused_tail is None:
-            fused_tail = jax.devices()[0].platform == "tpu"
         voc_cfg = cfg.vocoder
-        if fused_tail and not voc_cfg.fused_tail_kernel:
-            voc_cfg = _dc.replace(voc_cfg, fused_tail_kernel=True)
+        if fused_tail is None:
+            fused_tail = (voc_cfg.fused_tail_kernel
+                          or jax.devices()[0].platform == "tpu")
+        if voc_cfg.fused_tail_kernel != fused_tail:
+            voc_cfg = _dc.replace(voc_cfg, fused_tail_kernel=fused_tail)
         self.vocoder = MelCodeGenerator(voc_cfg)
         self.stage1_variables = stage1_variables
         self.vocoder_params = vocoder_params
