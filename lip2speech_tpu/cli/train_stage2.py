@@ -34,6 +34,10 @@ def main(argv=None):
                    help="restore the latest g_/do_ checkpoint pair in "
                         "--checkpoint-dir (G, D, both optimizers, step, epoch) "
                         "and continue — reference train.py:63-98")
+    p.add_argument("--fused-gen", action="store_true",
+                   help="run the generator forward through the VMEM-fused "
+                        "resblock-trio Pallas kernel (TPU; gradients flow "
+                        "through the XLA path via custom_vjp)")
     args = p.parse_args(argv)
 
     import jax
@@ -47,6 +51,8 @@ def main(argv=None):
     cfg = preset(args.preset)
     if args.batch_size:
         cfg = with_overrides(cfg, {"stage2.batch_size": args.batch_size})
+    if args.fused_gen:
+        cfg = with_overrides(cfg, {"vocoder.fused_tail_kernel": True})
 
     ds = Stage2Dataset(args.train_tsv, args.train_unt, cfg.vocoder,
                        root_override=args.root, train=True, mel_aug=args.mel_aug)
