@@ -83,6 +83,35 @@ def test_gradients_flow_through_xla_path():
                                    atol=1e-5)
 
 
+def test_parity_fuzz_geometries():
+    """Random (kernel, dilation, fold, M, block) combos — the halo/guard/
+    placement math must hold for any VocoderConfig geometry, not just the
+    HiFi-GAN default (3/7/11 x 1/3/5)."""
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        n_res = int(rng.integers(1, 3))
+        ks, dils = [], []
+        for _ in range(n_res):
+            k = int(rng.choice([1, 3, 5, 9]))
+            ks.append(k)
+            dils.append(tuple(int(d) for d in
+                              rng.choice([1, 2, 3, 4, 7],
+                                         size=rng.integers(1, 3))))
+        C, fold = [(16, 8), (32, 4), (64, 2)][trial % 3]
+        M = int(rng.integers(3, 9)) * 8
+        blk = int(rng.choice([16, 40, 1024]))
+        ws = _weights(rng, C, ks=ks, dils=dils)
+        xf = jnp.asarray(rng.standard_normal((1, M, fold * C)) * 0.5,
+                         jnp.float32)
+        ref = trio_xla(xf, ws, fold, ks, dils)
+        got = fused_resblock_trio(xf, ws, fold, ks, dils, interpret=True,
+                                  block_rows=blk)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6,
+            err_msg=f"trial={trial} ks={ks} dils={dils} fold={fold} "
+                    f"M={M} blk={blk}")
+
+
 def test_generator_flag_is_transparent():
     """fused_tail_kernel=True: identical param tree, identical waveform."""
     from lip2speech_tpu.core.config import preset
