@@ -112,6 +112,28 @@ def test_parity_fuzz_geometries():
                     f"M={M} blk={blk}")
 
 
+@pytest.mark.slow
+def test_pipeline_fused_integration():
+    """Full serving path (stage-1 -> units -> vocoder) with the fused tail
+    forced on vs off: byte-identical pipeline wiring, near-identical wavs."""
+    from lip2speech_tpu.core.config import preset
+    from lip2speech_tpu.pipeline.synthesise import Lip2SpeechPipeline
+
+    cfg = preset("multi_target")
+    rng = np.random.default_rng(5)
+    video = rng.standard_normal((1, 4, 88, 88, 1)).astype(np.float32)
+    mask = np.ones((1, 4), bool)
+    spk = rng.standard_normal((1, 256)).astype(np.float32)
+
+    p0 = Lip2SpeechPipeline.initialize_random(cfg, seed=0, frames=4,
+                                              fused_tail=False)
+    p1 = Lip2SpeechPipeline.initialize_random(cfg, seed=0, frames=4,
+                                              fused_tail=True)
+    w0 = p0.synthesise_batch(video, mask, spk)[0].wav
+    w1 = p1.synthesise_batch(video, mask, spk)[0].wav
+    np.testing.assert_allclose(w1, w0, rtol=2e-4, atol=2e-5)
+
+
 def test_generator_flag_is_transparent():
     """fused_tail_kernel=True: identical param tree, identical waveform."""
     from lip2speech_tpu.core.config import preset
