@@ -118,6 +118,8 @@ def main(argv=None):
 
     t0 = time.time()
     for stacked in prefetch(accum_stream(), depth=2):
+        if update >= cfg.stage1.max_updates:
+            break  # e.g. --resume on an already-complete run
         state, logs = step_fn(state, stacked,
                               jax.random.fold_in(rng, update))
         update += 1

@@ -123,7 +123,8 @@ def box_iou(a, b) -> float:
 
 def detect_face_box(gray: np.ndarray, min_rel_size: float = 0.15,
                     prior_box=None, motion: np.ndarray | None = None,
-                    motion_noise: float | None = None):
+                    motion_noise: float | None = None,
+                    px_scale: float = 1.0):
     """Face bounding box from a local-variance saliency map.
 
     Faces are the high-texture blob in a talking-head frame (the serving
@@ -143,6 +144,13 @@ def detect_face_box(gray: np.ndarray, min_rel_size: float = 0.15,
     restricted to a face-radius neighborhood of it, which cuts static clutter
     that texture saliency alone cannot separate. Ignored when the motion
     signal is at the noise floor (still scenes degrade to the static path).
+
+    `px_scale`: factor by which `gray` was downscaled from the tuned
+    full-resolution envelope (HeuristicLandmarks passes detect_downscale).
+    The handful of ABSOLUTE pixel constants below (mouth-width clip,
+    degenerate-window floor, motion pixel count) were tuned at full res;
+    scaling them keeps half-res detection a pure resampling of the
+    full-res behavior instead of silently retuning it for small faces.
     Returns (x0, y0, x1, y1) or None.
     """
     from scipy.ndimage import label, uniform_filter
@@ -160,7 +168,8 @@ def detect_face_box(gray: np.ndarray, min_rel_size: float = 0.15,
         oy = max(0, int(py0 - mx * ph))
         x_hi = min(full_w, int(px1 + mx * pw))
         y_hi = min(full_h, int(py1 + mx * ph))
-        if x_hi - ox < 8 or y_hi - oy < 8:
+        win_floor = max(4, int(round(8 / px_scale)))
+        if x_hi - ox < win_floor or y_hi - oy < win_floor:
             ox = oy = 0
         else:
             g = g[oy:y_hi, ox:x_hi]
@@ -203,13 +212,15 @@ def detect_face_box(gray: np.ndarray, min_rel_size: float = 0.15,
         if mo.size and mo.max() > max(4.0 * noise, 1.0):
             thr = max(0.15 * float(mo.max()), 2.5 * noise)
             mys, mxs = np.nonzero(mo > thr)
-            if len(mxs) >= 8:
+            # pixel-count floor scales with AREA under downscaling
+            if len(mxs) >= max(3, int(round(8 / px_scale ** 2))):
                 bx0, bx1 = np.quantile(mxs, 0.02), np.quantile(mxs, 0.98)
                 by0, by1 = np.quantile(mys, 0.02), np.quantile(mys, 0.98)
                 if (bx1 - bx0) < 0.3 * w and (by1 - by0) < 0.3 * h:
                     # mouth-sized motion blob: it IS the talking mouth
                     anchor = (0.5 * (bx0 + bx1), 0.5 * (by0 + by1))
-                    mouth_w = float(np.clip(bx1 - bx0, 12, 120))
+                    mouth_w = float(np.clip(bx1 - bx0, 12 / px_scale,
+                                            120 / px_scale))
                 else:
                     # whole face moves: its motion outline bounds the face
                     motion_box = (bx0, by0, bx1, by1)
@@ -376,7 +387,8 @@ class HeuristicLandmarks:
                 if prior is not None and ds > 1:
                     prior = tuple(v / ds for v in prior)
                 det = detect_face_box(small[i], prior_box=prior,
-                                      motion=motion, motion_noise=mnoise)
+                                      motion=motion, motion_noise=mnoise,
+                                      px_scale=float(ds))
                 if det is not None and ds > 1:
                     det = tuple(v * ds for v in det)
                 if det is not None:

@@ -457,24 +457,34 @@ class Handler(BaseHTTPRequestHandler):
             if abs(mel.shape[0] - 2 * len(units)) > 4:
                 raise ValueError(f"{len(units)} units vs {mel.shape[0]} mel "
                                  f"frames (need Tm ~= 2*units)")
+            if "spk_emb_path" in body:
+                spk = np.load(body["spk_emb_path"]).astype(np.float32)
+                if spk.ndim != 1:
+                    raise ValueError(f"spk_emb must be 1-D, got {spk.shape}")
+            else:
+                spk = self.state.default_spk_emb
+            # pad to the serving bucket grid (static shapes; 2 units/frame)
+            n = len(units)
+            tc = 2 * pick_bucket((n + 1) // 2)
+            if n > tc:
+                raise ValueError(f"{n} units exceeds the max serving "
+                                 f"bucket ({tc}); chunk via /vsg/synthesise")
         except Exception as e:  # bad client input
             self._json(400, {"error": f"cannot load inputs: {e}"})
             return
-        if "spk_emb_path" in body:
-            spk = np.load(body["spk_emb_path"]).astype(np.float32)
-        else:
-            spk = self.state.default_spk_emb
-        # pad to the serving bucket grid (static shapes; 2 units per frame)
-        n = len(units)
-        tc = 2 * pick_bucket((n + 1) // 2)
         code = np.zeros((1, tc), np.int32)
         code[0, :n] = units
         melb = np.zeros((1, 2 * tc, 80), np.float32)
         melb[0, :min(mel.shape[0], 2 * tc)] = mel[:2 * tc]
         t0 = time.time()
-        fn = _vocode_jit(pipeline.cfg.vocoder)
-        wav = np.asarray(fn(pipeline.vocoder_params, code, melb,
-                            spk[None].astype(np.float32)))[0, :n * 320]
+        # the pipeline's vocoder module carries the EFFECTIVE config
+        # (fused-tail auto-enable / escape hatch applied in __init__),
+        # not pipeline.cfg.vocoder — reuse it so /vocode compiles the
+        # same program variant as /synthesise.
+        fn = _vocode_jit(pipeline.vocoder.cfg)
+        with self.state.lock:  # global device serialization (server.py:26)
+            wav = np.asarray(fn(pipeline.vocoder_params, code, melb,
+                                spk[None].astype(np.float32)))[0, :n * 320]
         elapsed = time.time() - t0
         out = {"sample_rate": 16000, "num_samples": int(len(wav)),
                "elapsed_s": round(elapsed, 4),

@@ -19,30 +19,11 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
-import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def sync_time(fn, args, iters):
-    np.asarray(fn(*args))                      # warmup/compile
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        np.asarray(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) * 1e3          # ms
-
-
-def flops_of(fn, args):
-    try:
-        return float(fn.lower(*args).compile().cost_analysis()["flops"])
-    except Exception:  # noqa: BLE001
-        return None
+from _bench_util import flops_of, sync_time  # noqa: F401 (adds repo root)
 
 
 def main():

@@ -16,23 +16,10 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
-import os
-import sys
-import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def sync_time(fn, args, iters):
-    np.asarray(fn(*args))                      # warmup/compile
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        np.asarray(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) * 1e3          # ms
+from _bench_util import sync_time  # noqa: F401 (adds repo root to sys.path)
 
 
 def main():

@@ -74,6 +74,13 @@ def test_stage1_valid_best_and_resume(mini_dataset, tmp_path, capsys):
     state = load_pytree(ckpt_dir / "s1_00000003")
     assert int(np.asarray(state["step"])) == 3  # optimizer step continued
 
+    # resuming an ALREADY-COMPLETE run must not train past max_updates
+    train_main(common + ["--max-updates", "3", "--resume"])
+    capsys.readouterr()
+    state = load_pytree(ckpt_dir / "s1_00000003")
+    assert int(np.asarray(state["step"])) == 3  # unchanged
+    assert not (ckpt_dir / "s1_00000004").exists()
+
 
 def test_stage2_resume(lrs3_sample_dir, tmp_path, capsys):
     from lip2speech_tpu.cli.train_stage2 import main as train_main

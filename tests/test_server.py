@@ -216,6 +216,23 @@ def test_vocode_endpoint(server, tmp_path):
     code, out = _req(server, "POST", "/vocode",
                      {"units": units[:4], "mel_path": str(tmp_path / "mel.npy")})
     assert code == 400 and "mel" in out["error"]
+    # bad speaker path / shape are client errors too, not 500s
+    code, out = _req(server, "POST", "/vocode",
+                     {"units": units, "mel_path": str(tmp_path / "mel.npy"),
+                      "spk_emb_path": "/nope_spk.npy"})
+    assert code == 400
+    np.save(tmp_path / "spk2d.npy", np.zeros((2, 256), np.float32))
+    code, out = _req(server, "POST", "/vocode",
+                     {"units": units, "mel_path": str(tmp_path / "mel.npy"),
+                      "spk_emb_path": str(tmp_path / "spk2d.npy")})
+    assert code == 400 and "spk_emb" in out["error"]
+    # more units than the max serving bucket holds -> 400, not a crash
+    big = rng.integers(0, 200, 1300).astype(int).tolist()
+    np.save(tmp_path / "melbig.npy",
+            rng.standard_normal((2600, 80)).astype(np.float32))
+    code, out = _req(server, "POST", "/vocode",
+                     {"units": big, "mel_path": str(tmp_path / "melbig.npy")})
+    assert code == 400 and "bucket" in out["error"]
 
 
 def test_cdn_static_serving(tmp_path):
