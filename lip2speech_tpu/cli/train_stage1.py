@@ -117,45 +117,51 @@ def main(argv=None):
     from lip2speech_tpu.data.prefetch import prefetch
 
     t0 = time.time()
-    for stacked in prefetch(accum_stream(), depth=2):
-        if update >= cfg.stage1.max_updates:
-            break  # e.g. --resume on an already-complete run
-        state, logs = step_fn(state, stacked,
-                              jax.random.fold_in(rng, update))
-        update += 1
-        if update % args.log_interval == 0:
-            acc = float(logs["n_correct"]) / max(float(logs["total"]), 1)
-            print(json.dumps({
-                "update": update,
-                "loss": round(float(logs["loss"]), 3),
-                "nll": round(float(logs["nll_loss"]), 3),
-                "mel": round(float(logs["mel_loss"]), 3),
-                "acc": round(acc, 4),
-                "ups": round(update / (time.time() - t0), 3),
-            }))
-            mlog.scalars(update, loss=logs["loss"], nll=logs["nll_loss"],
-                         mel=logs["mel_loss"], acc=acc,
-                         grad_norm=logs["grad_norm"])
-        if update % args.save_interval == 0:
-            ckpt.save_stage1(ckpt_dir, state, update)
-            if val_ds is not None:
-                # best-on-validation accuracy, like the reference
-                # (conf/lrs3/multi_target.yaml: best_checkpoint_metric:
-                # accuracy over the valid subset)
-                val = stage1.evaluate(model, state, val_ds,
-                                      cfg.stage1.batch_size, cfg,
-                                      eval_step=eval_step)
-                print(json.dumps({"update": update,
-                                  "val_acc": round(val["accuracy"], 4),
-                                  "val_nll": round(val["nll"], 4)}))
-                mlog.scalars(update, val_acc=val["accuracy"],
-                             val_nll=val["nll"])
-                save_best(val["accuracy"], "valid_accuracy")
-            else:
+    # accum_stream() is ENDLESS, so the loop always exits via break;
+    # close() stops the prefetch fill thread and frees its buffered batches
+    stream = prefetch(accum_stream(), depth=2)
+    try:
+        for stacked in stream:
+            if update >= cfg.stage1.max_updates:
+                break  # e.g. --resume on an already-complete run
+            state, logs = step_fn(state, stacked,
+                                  jax.random.fold_in(rng, update))
+            update += 1
+            if update % args.log_interval == 0:
                 acc = float(logs["n_correct"]) / max(float(logs["total"]), 1)
-                save_best(acc, "train_accuracy")
-        if update >= cfg.stage1.max_updates:
-            break
+                print(json.dumps({
+                    "update": update,
+                    "loss": round(float(logs["loss"]), 3),
+                    "nll": round(float(logs["nll_loss"]), 3),
+                    "mel": round(float(logs["mel_loss"]), 3),
+                    "acc": round(acc, 4),
+                    "ups": round(update / (time.time() - t0), 3),
+                }))
+                mlog.scalars(update, loss=logs["loss"], nll=logs["nll_loss"],
+                             mel=logs["mel_loss"], acc=acc,
+                             grad_norm=logs["grad_norm"])
+            if update % args.save_interval == 0:
+                ckpt.save_stage1(ckpt_dir, state, update)
+                if val_ds is not None:
+                    # best-on-validation accuracy, like the reference
+                    # (conf/lrs3/multi_target.yaml: best_checkpoint_metric:
+                    # accuracy over the valid subset)
+                    val = stage1.evaluate(model, state, val_ds,
+                                          cfg.stage1.batch_size, cfg,
+                                          eval_step=eval_step)
+                    print(json.dumps({"update": update,
+                                      "val_acc": round(val["accuracy"], 4),
+                                      "val_nll": round(val["nll"], 4)}))
+                    mlog.scalars(update, val_acc=val["accuracy"],
+                                 val_nll=val["nll"])
+                    save_best(val["accuracy"], "valid_accuracy")
+                else:
+                    acc = float(logs["n_correct"]) / max(float(logs["total"]), 1)
+                    save_best(acc, "train_accuracy")
+            if update >= cfg.stage1.max_updates:
+                break
+    finally:
+        stream.close()
     ckpt.save_stage1(ckpt_dir, state, update)
     print(f"done: {update} updates in {time.time() - t0:.1f}s")
 

@@ -183,7 +183,7 @@ class VocoderConfig:
         out = 1
         for r in self.upsample_rates:
             out *= r
-        return out                              # 320 == code_hop_size
+        return out      # 160 per 100-Hz conditioning row = code_hop_size/2
 
 
 # ---------------------------------------------------------------------------

@@ -17,23 +17,65 @@ _SENTINEL = object()
 
 
 class PrefetchIterator:
-    """Wrap a batch iterable; keep up to `depth` ready batches ahead."""
+    """Wrap a batch iterable; keep up to `depth` ready batches ahead.
+
+    Consumers that stop early (e.g. a train loop breaking at max_updates on
+    an ENDLESS stream) must call close() — otherwise the fill thread stays
+    blocked on the full queue forever, pinning `depth`+1 decoded batches and
+    the underlying dataset. close() is idempotent; the iterator also works
+    as a context manager.
+    """
 
     def __init__(self, iterable: Iterable, depth: int = 3):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: BaseException | None = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._fill, args=(iterable,),
                                         daemon=True)
         self._thread.start()
 
+    def _put_stop_aware(self, item) -> bool:
+        """Blocking put that gives up once close() is called; True if put."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _fill(self, iterable):
         try:
             for item in iterable:
-                self._q.put(item)
+                if not self._put_stop_aware(item):
+                    return
         except BaseException as e:  # propagate into the consumer
             self._err = e
         finally:
-            self._q.put(_SENTINEL)
+            close = getattr(iterable, "close", None)
+            if close is not None:  # run generator finalizers promptly
+                try:
+                    close()
+                except BaseException:
+                    pass
+            # after close() nobody is reading — don't block on a full queue
+            self._put_stop_aware(_SENTINEL)
+
+    def close(self):
+        """Stop the fill thread and release its buffered batches."""
+        self._stop.set()
+        try:  # unblock a put() stuck on the full queue
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
+
+    def __enter__(self) -> "PrefetchIterator":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def __iter__(self) -> Iterator:
         return self

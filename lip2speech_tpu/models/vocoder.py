@@ -223,7 +223,7 @@ class ResBlock1(nn.Module):
         per dilation branch. The single compact method — both __call__ and
         the generator's fused-tail path pull params through here, so the
         checkpoint tree is identical either way."""
-        from lip2speech_tpu.ops.pallas_fused_tail import branch_paddings
+        from lip2speech_tpu.ops.fold_conv import branch_paddings
 
         out = []
         for i, d in enumerate(self.dilations):
@@ -247,7 +247,7 @@ class ResBlock1(nn.Module):
         return ops.conv1d(x, w, b, 1, pad, dil, 1)
 
     def __call__(self, x):
-        from lip2speech_tpu.ops.pallas_fused_tail import branch_paddings
+        from lip2speech_tpu.ops.fold_conv import branch_paddings
 
         ws = self.branch_weights()
         for ((w1, b1), (w2, b2)), d in zip(ws, self.dilations):

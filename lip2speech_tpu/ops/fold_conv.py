@@ -149,6 +149,12 @@ def fold_conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def branch_paddings(kernel: int, dilation: int) -> tuple[int, int]:
+    """torch get_padding for the (dilated, plain) conv pair of a ResBlock1
+    branch (speech-resynthesis models.py:16-60)."""
+    return (kernel * dilation - dilation) // 2, (kernel - 1) // 2
+
+
 def gblock_geometry(kernel: int, dilation: int, pad: int, fold: int):
     """(q0, G): starting row offset and number of row-shifted blocks."""
     span = (kernel - 1) * dilation

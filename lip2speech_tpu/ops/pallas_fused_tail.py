@@ -41,18 +41,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lip2speech_tpu.ops import nn as ops
-from lip2speech_tpu.ops.fold_conv import fold_conv1d_gblock, gblock_placement
+from lip2speech_tpu.ops.fold_conv import (branch_paddings,  # noqa: F401 (re-export)
+                                          fold_conv1d_gblock, gblock_placement)
 
 LRELU_SLOPE = 0.1
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def branch_paddings(kernel: int, dilation: int) -> tuple[int, int]:
-    """torch get_padding for the (dilated, plain) conv pair of a branch."""
-    return (kernel * dilation - dilation) // 2, (kernel - 1) // 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -252,4 +248,32 @@ def fused_resblock_trio(xf: jnp.ndarray, weights, fold: int,
         return vjp(g.astype(xf.dtype))
 
     run.defvjp(run_fwd, run_bwd)
+    if (_TAIL_MESH is not None and _TAIL_MESH.size > 1
+            and not jax.sharding.get_abstract_mesh().manual_axes):
+        # GSPMD cannot partition a Mosaic custom call (jax
+        # tpu_custom_call.py raises NotImplementedError), so inside a
+        # multi-device jitted program — train_stage2 --fused-gen on a dp
+        # mesh — the kernel self-wraps in shard_map: batch over 'data',
+        # weight tables replicated. Skipped when the trace is already
+        # manual (the serving pipeline's own top-level shard_map).
+        from jax.sharding import PartitionSpec as P
+
+        from lip2speech_tpu.parallel.mesh import DATA_AXIS
+
+        nd = _TAIL_MESH.shape.get(DATA_AXIS, 1)
+        bax = DATA_AXIS if (nd > 1 and xf.shape[0] % nd == 0) else None
+        spec = P(bax, None, None)
+        return jax.shard_map(run, mesh=_TAIL_MESH, in_specs=(spec, P()),
+                             out_specs=spec, check_vma=False)(xf, weights)
     return run(xf, weights)
+
+
+_TAIL_MESH = None
+
+
+def set_fused_tail_mesh(mesh) -> None:
+    """Declare the mesh whose jitted programs will contain this kernel
+    (None clears it); see fused_resblock_trio. The stage-2 GAN-step builder
+    calls this when given a multi-device mesh."""
+    global _TAIL_MESH
+    _TAIL_MESH = mesh

@@ -476,6 +476,62 @@ def _rel_flash_bwd(block, interpret, bwd, dropout_rate, residuals, g):
 _rel_flash.defvjp(_rel_flash_fwd, _rel_flash_bwd)
 
 
+# ---------------------------------------------------------------------------
+# multi-device meshes: Mosaic kernels cannot be auto-partitioned by GSPMD
+# (jax tpu_custom_call.py raises "Mosaic kernels cannot be automatically
+# partitioned. Please wrap the call in a shard_map."), so inside a
+# multi-device jitted program this kernel must run under a shard_map that
+# makes EVERY mesh axis manual. The train-step builders declare their mesh
+# here; rel_flash_attention then self-wraps with batch over 'data' and
+# heads over 'model' — exactly the layout GSPMD propagates from the
+# head-parallel TP weight rules (parallel/sharding_rules.py), so the
+# shard_map boundary inserts no resharding.
+# ---------------------------------------------------------------------------
+
+_FLASH_MESH = None
+
+
+def set_flash_mesh(mesh) -> None:
+    """Declare the mesh whose jitted programs will contain this kernel
+    (None clears it). Axes must be named 'data' / 'model' (parallel/mesh)."""
+    global _FLASH_MESH
+    _FLASH_MESH = mesh
+
+
+def _shard_mapped_flash(mesh, block, interpret, bwd, dropout_rate,
+                        q_u, q_v, k, v, p, mask, seed):
+    from jax.sharding import PartitionSpec as P
+
+    from lip2speech_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    b, h = q_u.shape[0], q_u.shape[1]
+    ndata = mesh.shape.get(DATA_AXIS, 1)
+    nmodel = mesh.shape.get(MODEL_AXIS, 1)
+    # shard only dims the mesh divides; the rest replicate (matches the
+    # per-leaf divisibility fallback in sharding_rules.shard_params)
+    bax = DATA_AXIS if (ndata > 1 and b % ndata == 0) else None
+    hax = MODEL_AXIS if (nmodel > 1 and h % nmodel == 0) else None
+    qspec = P(bax, hax, None, None)
+    pspec = P(hax, None, None)
+    mspec = P(bax, None)
+
+    def inner(q_u, q_v, k, v, p, mask, seed):
+        # distinct in-kernel dropout stream per shard (the kernel PRNG is
+        # seeded per call; without this every batch shard would replay the
+        # same mask pattern)
+        if bax is not None:
+            seed = seed + jax.lax.axis_index(DATA_AXIS) * nmodel
+        if hax is not None:
+            seed = seed + jax.lax.axis_index(MODEL_AXIS)
+        return _rel_flash(block, interpret, bwd, dropout_rate,
+                          q_u, q_v, k, v, p, mask, seed)
+
+    return jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(qspec, qspec, qspec, qspec, pspec, mspec, P(None)),
+        out_specs=qspec, check_vma=False)(q_u, q_v, k, v, p, mask, seed)
+
+
 def rel_flash_attention(q_u, q_v, k, v, p, mask,
                         block: int = 128, interpret: bool = False,
                         bwd: str = "kernel", dropout_rate: float = 0.0,
@@ -494,5 +550,12 @@ def rel_flash_attention(q_u, q_v, k, v, p, mask,
         seed = jnp.zeros((1,), jnp.int32)
     else:
         seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+    if (_FLASH_MESH is not None and _FLASH_MESH.size > 1
+            and not jax.sharding.get_abstract_mesh().manual_axes):
+        # already-manual traces (a caller's own shard_map) skip the wrap —
+        # nesting shard_map inside shard_map is illegal
+        return _shard_mapped_flash(_FLASH_MESH, block, interpret, bwd,
+                                   dropout_rate, q_u, q_v, k, v, p, mask,
+                                   seed)
     return _rel_flash(block, interpret, bwd, dropout_rate,
                       q_u, q_v, k, v, p, mask, seed)

@@ -299,11 +299,15 @@ class Handler(BaseHTTPRequestHandler):
         elif self.path.startswith("/cdn/"):
             # static file serving (reference server.py:471-473); resolve()
             # must stay inside static_dir — no traversal
+            from urllib.parse import unquote, urlparse
+
             static_dir = getattr(self.state, "static_dir", None)
             if static_dir is None:
                 self._json(404, {"error": "no static dir configured"})
                 return
-            target = (Path(static_dir) / self.path[len("/cdn/"):]).resolve()
+            # strip ?query and decode %-escapes: browser URLs carry both
+            rel = unquote(urlparse(self.path).path[len("/cdn/"):])
+            target = (Path(static_dir) / rel).resolve()
             if (not str(target).startswith(str(Path(static_dir).resolve()) + "/")
                     or not target.is_file()):
                 self._json(404, {"error": "not found"})
@@ -445,6 +449,13 @@ class Handler(BaseHTTPRequestHandler):
                              "available": sorted(self.state.pipelines)})
             return
         pipeline = self.state.pipelines[cid or self.state.active]
+        # shapes come from the SERVING config, not hard-coded defaults:
+        # code_hop_size = samples per 50-Hz unit (320 for the reference
+        # stack: 2 conditioning rows x total_upsample 160 per row),
+        # mel_bins = model_in_dim minus the code + speaker slots (80)
+        vcfg = pipeline.vocoder.cfg
+        hop = vcfg.code_hop_size
+        mel_bins = vcfg.model_in_dim - 2 * vcfg.embedding_dim
         try:
             if "units" in body:
                 units = np.asarray(body["units"], np.int32)
@@ -452,8 +463,9 @@ class Handler(BaseHTTPRequestHandler):
                 units = np.asarray(
                     Path(body["unt_path"]).read_text().split(), np.int32)
             mel = np.load(body["mel_path"]).astype(np.float32)
-            if mel.ndim != 2 or mel.shape[1] != 80:
-                raise ValueError(f"mel must be (T, 80), got {mel.shape}")
+            if mel.ndim != 2 or mel.shape[1] != mel_bins:
+                raise ValueError(
+                    f"mel must be (T, {mel_bins}), got {mel.shape}")
             if abs(mel.shape[0] - 2 * len(units)) > 4:
                 raise ValueError(f"{len(units)} units vs {mel.shape[0]} mel "
                                  f"frames (need Tm ~= 2*units)")
@@ -474,7 +486,7 @@ class Handler(BaseHTTPRequestHandler):
             return
         code = np.zeros((1, tc), np.int32)
         code[0, :n] = units
-        melb = np.zeros((1, 2 * tc, 80), np.float32)
+        melb = np.zeros((1, 2 * tc, mel_bins), np.float32)
         melb[0, :min(mel.shape[0], 2 * tc)] = mel[:2 * tc]
         t0 = time.time()
         # the pipeline's vocoder module carries the EFFECTIVE config
@@ -484,7 +496,7 @@ class Handler(BaseHTTPRequestHandler):
         fn = _vocode_jit(pipeline.vocoder.cfg)
         with self.state.lock:  # global device serialization (server.py:26)
             wav = np.asarray(fn(pipeline.vocoder_params, code, melb,
-                                spk[None].astype(np.float32)))[0, :n * 320]
+                                spk[None].astype(np.float32)))[0, :n * hop]
         elapsed = time.time() - t0
         out = {"sample_rate": 16000, "num_samples": int(len(wav)),
                "elapsed_s": round(elapsed, 4),
@@ -806,6 +818,12 @@ def make_server(port: int = 5002,
         cfg = cfg or preset("multi_target")
         pipelines = {"multi_target": Lip2SpeechPipeline.initialize_random(
             cfg, fused_tail=fused_tail)}
+    elif fused_tail is not None:
+        # already-built pipelines carry their own (auto-resolved) setting;
+        # silently ignoring the flag would contradict the caller
+        raise ValueError("fused_tail only applies when make_server builds "
+                         "the pipeline; pass it to the Lip2SpeechPipeline "
+                         "constructor instead")
     state = ServerState(pipelines, active=sorted(pipelines)[0], db_path=db_path,
                         use_batcher=use_batcher, **state_kw)
     handler = type("BoundHandler", (Handler,), {"state": state})
@@ -878,18 +896,22 @@ def main():
 
     server = make_server(args.port, pipelines=pipelines, db_path=args.db,
                          use_batcher=args.batcher,
-                         fused_tail=False if args.no_fused_tail else None,
+                         # pre-built pipelines got the flag in
+                         # from_checkpoints; make_server rejects it then
+                         fused_tail=(False if args.no_fused_tail else None)
+                         if pipelines is None else None,
                          default_audio_dir=args.default_audio_dir,
                          asr=try_load_asr(args.asr_model),
                          static_dir=args.static_dir)
     state = server.RequestHandlerClass.state
     if mesh is not None:
         # applies before the first _jitted call, so every pipeline compiles
-        # with batch-sharded in_shardings
+        # with batch-sharded in_shardings (set_mesh also drops the fused
+        # tail — a pallas_call cannot live inside the GSPMD-sharded jit)
         for pl_ in getattr(state, "pipelines", {}).values():
-            pl_.mesh = mesh
+            pl_.set_mesh(mesh)
         if getattr(state, "pipeline", None) is not None:
-            state.pipeline.mesh = mesh
+            state.pipeline.set_mesh(mesh)
     if args.warmup:
         print("warming up (compiling serving buckets)...")
         state.pipeline.warmup()

@@ -98,7 +98,9 @@ class Lip2SpeechPipeline:
         trios (ops/pallas_fused_tail.py; exact, same checkpoint tree).
         None = auto: on when serving on TPU or when the config opted in,
         off elsewhere. True/False force it either way (False is the
-        escape hatch even for a config that enabled it)."""
+        escape hatch even for a config that enabled it). Works under
+        `mesh` too — the mesh path runs the program through shard_map,
+        which (unlike bare GSPMD sharding) admits the pallas_call."""
         import dataclasses as _dc
 
         self.cfg = cfg
@@ -150,6 +152,14 @@ class Lip2SpeechPipeline:
         return cls(cfg, dict(s1_vars), dict(v_vars["params"]),
                    fused_tail=fused_tail)
 
+    def set_mesh(self, mesh) -> None:
+        """Attach a serving mesh after construction (server --data-parallel
+        assigns the mesh once all checkpoints are loaded). Drops any
+        already-jitted programs so the next call builds the shard_map'd
+        variant."""
+        self.mesh = mesh
+        self._jitted.cache_clear()
+
     def _build(self, _signature=None):
         """Build the jitted e2e fn (one compile per input signature via jit)."""
         num_special = self.cfg.model.units.num_special
@@ -175,11 +185,22 @@ class Lip2SpeechPipeline:
 
         if self.mesh is None:
             return jax.jit(e2e)
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        # Batch-data-parallel serving: every op in e2e is independent
+        # across the batch dim, so the whole program runs unchanged on each
+        # device's batch shard (params replicated, zero collectives) via
+        # shard_map. Unlike bare GSPMD in_shardings, shard_map also admits
+        # the fused-tail pallas_call — GSPMD cannot partition a custom
+        # call, so the previous jit(in_shardings=...) form would fail to
+        # compile with the kernel enabled. check_vma off: the Pallas
+        # custom_vjp body doesn't carry varying-axis metadata.
+        from jax.sharding import PartitionSpec as P
 
-        data = lambda nd: NamedSharding(self.mesh, P(*(("data",) + (None,) * (nd - 1))))  # noqa: E731
-        return jax.jit(e2e, in_shardings=(
-            None, None, data(5), data(2), data(2)))
+        d = lambda nd: P(*(("data",) + (None,) * (nd - 1)))  # noqa: E731
+        return jax.jit(jax.shard_map(
+            e2e, mesh=self.mesh,
+            in_specs=(P(), P(), d(5), d(2), d(2)),
+            out_specs=(d(2), d(2), d(3), d(2)),
+            check_vma=False))
 
     def synthesise_batch(self, video: np.ndarray, frames_mask: np.ndarray,
                          spk_emb: np.ndarray) -> list[SynthesisResult]:

@@ -181,6 +181,12 @@ def make_train_step(model: MultiTargetModel, tx, cfg: PipelineConfig, mesh=None)
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
 
+    # the Pallas flash-attention kernel inside the step cannot be
+    # auto-partitioned by GSPMD — declare the mesh so it self-wraps in
+    # shard_map (ops/pallas_rel_attention.set_flash_mesh)
+    from lip2speech_tpu.ops.pallas_rel_attention import set_flash_mesh
+
+    set_flash_mesh(mesh)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, DATA_AXIS))  # (accum, batch, ...)
     # state sharding is left to propagate from the actual inputs (params may

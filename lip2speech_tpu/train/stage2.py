@@ -160,6 +160,12 @@ def make_gan_step(models, txs, cfg: PipelineConfig, mesh=None):
 
     if mesh is None:
         return jax.jit(gan_step, donate_argnums=(0,))
+    # --fused-gen puts a Pallas kernel in the generator forward; GSPMD
+    # cannot auto-partition it, so declare the mesh for its self-shard_map
+    # (ops/pallas_fused_tail.set_fused_tail_mesh)
+    from lip2speech_tpu.ops.pallas_fused_tail import set_fused_tail_mesh
+
+    set_fused_tail_mesh(mesh)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
     return jax.jit(gan_step,

@@ -123,7 +123,8 @@ def main():
     out["g_grad_ms"] = round(sync_time(g_grad, (g_params,), args.iters) - floor, 1)
     out["d_fwd_ms"] = round(sync_time(d_fwd, (mpd_p, msd_p), args.iters) - floor, 1)
     out["d_grad_ms"] = round(sync_time(d_grad, (mpd_p, msd_p), args.iters) - floor, 1)
-    out["full_gan_step_ms"] = round(time_step(step, state, max(3, args.iters // 2)), 1)
+    out["full_gan_step_ms"] = round(
+        time_step(step, state, max(3, args.iters // 2)) - floor, 1)
     print(json.dumps(out))
 
 

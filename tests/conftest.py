@@ -36,3 +36,20 @@ def lrs3_sample_dir():
     if not p.exists():
         pytest.skip("bundled LRS3 sample data not available")
     return p
+
+
+@pytest.fixture(autouse=True)
+def _reset_kernel_meshes():
+    """The train-step builders declare their mesh for the Pallas kernels'
+    self-shard_map (set_flash_mesh / set_fused_tail_mesh) as a process-wide
+    setting; reset after each test so mesh-step tests don't leak wrapping
+    into unrelated kernel tests."""
+    yield
+    import sys
+
+    fa = sys.modules.get("lip2speech_tpu.ops.pallas_rel_attention")
+    if fa is not None:
+        fa.set_flash_mesh(None)
+    ft = sys.modules.get("lip2speech_tpu.ops.pallas_fused_tail")
+    if ft is not None:
+        ft.set_fused_tail_mesh(None)

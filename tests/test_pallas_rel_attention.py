@@ -150,3 +150,53 @@ def test_kernel_backward_matches_dense_backward(t, block):
     for name, a, b_ in zip(("q_u", "q_v", "k", "v", "p"), gk, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=3e-5, err_msg=name)
+
+
+def test_rel_flash_shard_mapped_under_mesh():
+    """With a multi-device mesh declared (set_flash_mesh), the kernel
+    self-wraps in shard_map — batch over 'data', heads over 'model' — and
+    must reproduce the unwrapped forward AND gradients exactly. This is the
+    path multi-chip training takes: GSPMD raises NotImplementedError on a
+    Mosaic custom call it has to partition itself."""
+    from lip2speech_tpu.ops import pallas_rel_attention as fa
+    from lip2speech_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(11)
+    b, h, t, dk = 4, 4, 32, 16
+    mk = lambda: jnp.asarray(rng.standard_normal((b, h, t, dk), dtype=np.float32))  # noqa: E731
+    q_u, q_v, k, v = mk(), mk(), mk(), mk()
+    pe = ops.sinusoidal_rel_pos_encoding(t, h * dk)
+    p = jnp.asarray(pe.reshape(2 * t - 1, h, dk).transpose(1, 0, 2))
+    mask = np.zeros((b, t), bool)
+    mask[:, : t - 5] = True
+    mask[0, :] = True
+    mask = jnp.asarray(mask)
+
+    def loss(*args):
+        out = rel_flash_attention(*args, mask, block=16, interpret=True)
+        return jnp.sum(jnp.sin(out) * jnp.where(mask[:, None, :, None], 1.0, 0.0))
+
+    ref_out = np.asarray(rel_flash_attention(q_u, q_v, k, v, p, mask,
+                                             block=16, interpret=True))
+    ref_g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(q_u, q_v, k, v, p)
+
+    fa.set_flash_mesh(make_mesh(data=4, model=2))  # 8 CPU devices, dp x tp
+    try:
+        out = np.asarray(rel_flash_attention(q_u, q_v, k, v, p, mask,
+                                             block=16, interpret=True))
+        g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(q_u, q_v, k, v, p)
+    finally:
+        fa.set_flash_mesh(None)
+    np.testing.assert_allclose(out, ref_out, atol=1e-6)
+    for name, ga, gb in zip(("q_u", "q_v", "k", "v", "p"), g, ref_g):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=1e-6, err_msg=name)
+
+    # non-divisible heads/batch replicate instead of crashing
+    fa.set_flash_mesh(make_mesh(data=3, model=1, devices=jax.devices()[:3]))
+    try:
+        out3 = np.asarray(rel_flash_attention(q_u, q_v, k, v, p, mask,
+                                              block=16, interpret=True))
+    finally:
+        fa.set_flash_mesh(None)
+    np.testing.assert_allclose(out3, ref_out, atol=1e-6)

@@ -50,3 +50,38 @@ def test_parallel_map_raises():
 
     with pytest.raises(ValueError):
         ParallelMap(f, n_workers=2)(list(range(6)))
+
+
+def test_prefetch_close_stops_endless_stream():
+    """A consumer breaking out of an ENDLESS stream (train loop at
+    max_updates) calls close(): the fill thread must exit and the
+    generator's finalizers must run, releasing the buffered batches."""
+    import threading
+
+    released = threading.Event()
+
+    def endless():
+        try:
+            i = 0
+            while True:
+                yield i
+                i += 1
+        finally:
+            released.set()
+
+    it = prefetch(endless(), depth=2)
+    assert next(it) == 0
+    it.close()
+    assert released.wait(2.0)
+    assert not it._thread.is_alive()
+    it.close()  # idempotent
+
+
+def test_prefetch_context_manager_closes():
+    def endless():
+        while True:
+            yield 0
+
+    with prefetch(endless(), depth=2) as it:
+        next(it)
+    assert not it._thread.is_alive()

@@ -207,7 +207,10 @@ def test_vocode_endpoint(server, tmp_path):
                       {"unt_path": str(tmp_path / "u.unt"),
                        "mel_path": str(tmp_path / "mel.npy")})
     assert code == 200 and out2["wav_base64"] == out["wav_base64"]
-    assert out2["rtf"] > 0    # second call is compiled (first pays the jit)
+    # the second call reuses the first call's jitted program (no recompile
+    # per request): the lru_cache around _vocode_jit must have hits
+    from lip2speech_tpu.pipeline.server import _vocode_jit
+    assert _vocode_jit.cache_info().hits >= 1
 
     # bad inputs are client errors
     code, out = _req(server, "POST", "/vocode",
@@ -252,6 +255,12 @@ def test_cdn_static_serving(tmp_path):
         r = conn.getresponse()
         assert r.status == 200 and r.read() == b"RIFFdata"
         assert r.getheader("Content-Type", "").startswith("audio/")
+        # browser URLs: percent-encoded names and cache-busting queries
+        (static / "my file.wav").write_bytes(b"RIFFdata2")
+        conn = HTTPConnection("127.0.0.1", srv.server_address[1], timeout=60)
+        conn.request("GET", "/cdn/my%20file.wav?t=123")
+        r = conn.getresponse()
+        assert r.status == 200 and r.read() == b"RIFFdata2"
         for bad in ("/cdn/../secret.txt", "/cdn/%2e%2e/secret.txt",
                     "/cdn/missing.bin"):
             conn = HTTPConnection("127.0.0.1", srv.server_address[1], timeout=60)
@@ -259,6 +268,14 @@ def test_cdn_static_serving(tmp_path):
             assert conn.getresponse().status == 404, bad
     finally:
         srv.shutdown()
+
+
+def test_make_server_rejects_fused_tail_with_prebuilt_pipelines():
+    """fused_tail only applies when make_server builds the pipeline itself;
+    silently ignoring it for a pre-built dict contradicted the caller."""
+    pipes = {"tiny": Lip2SpeechPipeline.initialize_random(TINY, frames=8)}
+    with pytest.raises(ValueError, match="fused_tail"):
+        make_server(port=0, pipelines=pipes, fused_tail=False)
 
 
 def test_default_audio_dir_kwarg(tmp_path):

@@ -184,3 +184,41 @@ def test_stage2_gan_step_on_mesh_matches_single_device():
     mesh_leaves = jax.tree_util.tree_leaves(smesh.gen_params)
     for a, b_ in zip(ref_leaves, mesh_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
+
+
+def test_stage2_gan_step_on_mesh_with_fused_gen():
+    """--fused-gen on a dp mesh: the generator's Pallas trio kernel cannot
+    be auto-partitioned by GSPMD, so make_gan_step declares the mesh and the
+    kernel self-wraps in shard_map (ops/pallas_fused_tail). The mesh step
+    must reproduce the mesh-less fused step exactly."""
+    from lip2speech_tpu.ops import pallas_fused_tail as pft
+    from lip2speech_tpu.train import stage2
+
+    cfg = dataclasses.replace(
+        TINY_VOC,
+        vocoder=dataclasses.replace(TINY_VOC.vocoder, fused_tail_kernel=True))
+    rng = np.random.default_rng(5)
+    seg = cfg.vocoder.segment_size
+    b = 8
+    batch = {
+        "audio": rng.standard_normal((b, seg)).astype(np.float32) * 0.1,
+        "code": rng.integers(0, 200, (b, seg // 320)).astype(np.int32),
+        "mel": rng.standard_normal((b, seg // 160, 80)).astype(np.float32),
+        "spk_emb": rng.standard_normal((b, 256)).astype(np.float32),
+    }
+    models, txs, state0 = stage2.create_gan_state(cfg, jax.random.PRNGKey(0),
+                                                  batch)
+    key = jax.random.PRNGKey(1)
+    step_ref = stage2.make_gan_step(models, txs, cfg, mesh=None)
+    sref, logs_ref = step_ref(state0, batch, key)
+
+    _, _, state1 = stage2.create_gan_state(cfg, jax.random.PRNGKey(0), batch)
+    try:
+        step_mesh = stage2.make_gan_step(models, txs, cfg, mesh=make_mesh())
+        assert pft._TAIL_MESH is not None          # builder declared it
+        smesh, logs_mesh = step_mesh(state1, batch, key)
+    finally:
+        pft.set_fused_tail_mesh(None)
+    for k in ["loss_disc", "loss_gen", "loss_mel"]:
+        np.testing.assert_allclose(float(logs_mesh[k]), float(logs_ref[k]),
+                                   rtol=2e-4, err_msg=k)
