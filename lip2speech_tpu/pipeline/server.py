@@ -296,6 +296,19 @@ class Handler(BaseHTTPRequestHandler):
         elif self.path == "/audios":
             # default speaker-voice library (reference server.py:515-517)
             self._json(200, {"audios": sorted(self.state.default_audios)})
+        elif self.path.startswith(("/video/", "/audio/")):
+            # id -> static-file redirect (reference server.py:519-525)
+            from urllib.parse import unquote, urlparse
+
+            kind, _, rid = urlparse(self.path).path[1:].partition("/")
+            rid = unquote(rid)
+            if not rid or "/" in rid:
+                self._json(404, {"error": "not found"})
+                return
+            ext = ".mp4" if kind == "video" else ".wav"
+            self.send_response(302)
+            self.send_header("Location", f"/cdn/{rid}{ext}")
+            self.end_headers()
         elif self.path.startswith("/cdn/"):
             # static file serving (reference server.py:471-473); resolve()
             # must stay inside static_dir — no traversal

@@ -266,6 +266,20 @@ def test_cdn_static_serving(tmp_path):
             conn = HTTPConnection("127.0.0.1", srv.server_address[1], timeout=60)
             conn.request("GET", bad)
             assert conn.getresponse().status == 404, bad
+        # /video/<id> and /audio/<id> redirect into /cdn (reference
+        # server.py:519-525); following the redirect serves the file
+        (static / "clip7.wav").write_bytes(b"RIFFaudio")
+        conn = HTTPConnection("127.0.0.1", srv.server_address[1], timeout=60)
+        conn.request("GET", "/audio/clip7")
+        r = conn.getresponse()
+        assert r.status == 302 and r.getheader("Location") == "/cdn/clip7.wav"
+        r.read()
+        conn.request("GET", "/video/clip7")
+        r = conn.getresponse()
+        assert r.status == 302 and r.getheader("Location") == "/cdn/clip7.mp4"
+        r.read()
+        conn.request("GET", "/audio/a/../b")
+        assert conn.getresponse().status == 404
     finally:
         srv.shutdown()
 
