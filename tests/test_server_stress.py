@@ -171,3 +171,51 @@ def test_streaming_interleaved_sessions():
     sa = asyncio.run(asyncio.wait_for(scenario2(), timeout=600))
     np.testing.assert_array_equal(
         wav_a, np.frombuffer(base64.b64decode(sa["wav_base64"]), np.int16))
+
+
+def test_stress_vocode_and_synthesise_share_device_lock(tmp_path):
+    """Concurrent /vocode + /synthesise: both paths serialize on the state's
+    device lock — no deadlock, every response correct for ITS request."""
+    pipes = {"tiny": Lip2SpeechPipeline.initialize_random(TINY, frames=8)}
+    state = ServerState(pipes, active="tiny")
+    handler = type("H", (Handler,), {"state": state})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.default_rng(2)
+        n_frames, units_lens = 10, [8, 20, 14, 30]
+        frames = rng.integers(0, 256, (n_frames, 96, 96), dtype=np.uint8)
+        np.save(tmp_path / "clip.npy", frames)
+        jobs = []
+        for i, n in enumerate(units_lens):
+            units = rng.integers(0, 200, n).tolist()
+            np.save(tmp_path / f"mel{i}.npy",
+                    rng.standard_normal((2 * n, 80)).astype(np.float32))
+            jobs.append(("/vocode", {"units": units,
+                                     "mel_path": str(tmp_path / f"mel{i}.npy")},
+                         n * 320))
+        jobs += [("/synthesise", {"video_path": str(tmp_path / "clip.npy")},
+                  n_frames * 640)] * 2
+
+        results = [None] * len(jobs)
+
+        def post(i):
+            path, body, _ = jobs[i]
+            conn = HTTPConnection("127.0.0.1", srv.server_address[1],
+                                  timeout=600)
+            conn.request("POST", path, json.dumps(body))
+            resp = conn.getresponse()
+            results[i] = (resp.status, json.loads(resp.read()))
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(len(jobs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+            assert not t.is_alive(), "request thread deadlocked"
+        for i, (status, out) in enumerate(results):
+            assert status == 200, (i, out)
+            assert out["num_samples"] == jobs[i][2], (i, out)
+    finally:
+        srv.shutdown()
