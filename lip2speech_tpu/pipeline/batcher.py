@@ -95,7 +95,13 @@ class DynamicBatcher:
         try:
             cfg = self.pipeline.cfg
             size = cfg.video.mouth_size
-            b = len(reqs)
+            # pad the group to the next power of two: every distinct batch
+            # size is its own static-shape compile (~40 s each on the TPU
+            # relay), so raw group sizes mean up to max_batch x n_buckets
+            # programs as traffic varies; pow2 bounds it to 4 per bucket.
+            # Dummy rows are fully masked -> empty results, dropped by the
+            # zip below (same pattern as the mesh pad in synthesise_batch).
+            b = 1 << (len(reqs) - 1).bit_length()
             video = np.zeros((b, bucket, size, size, 1), np.float32)
             mask = np.zeros((b, bucket), bool)
             spk = np.zeros((b, 256), np.float32)

@@ -927,7 +927,10 @@ def main():
             state.pipeline.set_mesh(mesh)
     if args.warmup:
         print("warming up (compiling serving buckets)...")
-        state.pipeline.warmup()
+        # with the batcher on, device calls come in pow2 group sizes
+        # (batcher._run_group) — warm those variants too
+        sizes = (1, 2, 4, 8) if args.batcher else (1,)
+        state.pipeline.warmup(batch_sizes=sizes)
     if args.streaming_port:
         from lip2speech_tpu.pipeline.streaming import start_streaming_thread
 

@@ -38,11 +38,11 @@ def test_stress_mixed_buckets(tmp_path):
     state = ServerState(pipes, active="tiny", use_batcher=True,
                         max_batch=8, max_wait_ms=150.0)
 
-    calls = []
+    calls = []   # (padded device batch, real requests inside)
     orig = pipes["tiny"].synthesise_batch
 
     def spy(video, mask, spk):
-        calls.append(video.shape[0])
+        calls.append((video.shape[0], int(np.asarray(mask).any(axis=1).sum())))
         return orig(video, mask, spk)
 
     pipes["tiny"].synthesise_batch = spy
@@ -96,7 +96,11 @@ def test_stress_mixed_buckets(tmp_path):
 
         # coalescing happened: fewer device calls than concurrent requests
         assert device_calls_concurrent < N_REQ, calls
-        assert sum(calls[:device_calls_concurrent]) == N_REQ
+        concurrent = calls[:device_calls_concurrent]
+        assert sum(real for _, real in concurrent) == N_REQ
+        # device batches come padded to powers of two (bounded compile set)
+        for padded, real in concurrent:
+            assert padded == 1 << (real - 1).bit_length(), calls
     finally:
         srv.shutdown()
         for b in state.batchers.values():
