@@ -306,8 +306,12 @@ class Handler(BaseHTTPRequestHandler):
                 self._json(404, {"error": "not found"})
                 return
             ext = ".mp4" if kind == "video" else ".wav"
+            # re-quote the decoded id: raw CRLF/unicode in a header is
+            # response splitting / a UnicodeEncodeError mid-response
+            from urllib.parse import quote
+
             self.send_response(302)
-            self.send_header("Location", f"/cdn/{rid}{ext}")
+            self.send_header("Location", f"/cdn/{quote(rid)}{ext}")
             self.end_headers()
         elif self.path.startswith("/cdn/"):
             # static file serving (reference server.py:471-473); resolve()
@@ -320,9 +324,14 @@ class Handler(BaseHTTPRequestHandler):
                 return
             # strip ?query and decode %-escapes: browser URLs carry both
             rel = unquote(urlparse(self.path).path[len("/cdn/"):])
-            target = (Path(static_dir) / rel).resolve()
-            if (not str(target).startswith(str(Path(static_dir).resolve()) + "/")
-                    or not target.is_file()):
+            try:
+                target = (Path(static_dir) / rel).resolve()
+                ok = (str(target).startswith(
+                    str(Path(static_dir).resolve()) + "/")
+                    and target.is_file())
+            except (ValueError, OSError):   # e.g. %00 -> embedded NUL
+                ok = False
+            if not ok:
                 self._json(404, {"error": "not found"})
                 return
             import mimetypes
@@ -475,6 +484,9 @@ class Handler(BaseHTTPRequestHandler):
             else:
                 units = np.asarray(
                     Path(body["unt_path"]).read_text().split(), np.int32)
+            if units.ndim != 1:
+                raise ValueError(f"units must be a flat list, "
+                                 f"got shape {units.shape}")
             mel = np.load(body["mel_path"]).astype(np.float32)
             if mel.ndim != 2 or mel.shape[1] != mel_bins:
                 raise ValueError(
@@ -919,12 +931,10 @@ def main():
     state = server.RequestHandlerClass.state
     if mesh is not None:
         # applies before the first _jitted call, so every pipeline compiles
-        # with batch-sharded in_shardings (set_mesh also drops the fused
-        # tail — a pallas_call cannot live inside the GSPMD-sharded jit)
+        # its shard_map'd variant (the mesh path keeps the fused-tail
+        # pallas_call legal — synthesise.py _build)
         for pl_ in getattr(state, "pipelines", {}).values():
             pl_.set_mesh(mesh)
-        if getattr(state, "pipeline", None) is not None:
-            state.pipeline.set_mesh(mesh)
     if args.warmup:
         print("warming up (compiling serving buckets)...")
         # with the batcher on, device calls come in pow2 group sizes

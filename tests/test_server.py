@@ -229,6 +229,11 @@ def test_vocode_endpoint(server, tmp_path):
                      {"units": units, "mel_path": str(tmp_path / "mel.npy"),
                       "spk_emb_path": str(tmp_path / "spk2d.npy")})
     assert code == 400 and "spk_emb" in out["error"]
+    # nested (non-flat) units are a 400, not a broadcast crash into a 500
+    code, out = _req(server, "POST", "/vocode",
+                     {"units": [[u] for u in units],
+                      "mel_path": str(tmp_path / "mel.npy")})
+    assert code == 400 and "flat" in out["error"]
     # more units than the max serving bucket holds -> 400, not a crash
     big = rng.integers(0, 200, 1300).astype(int).tolist()
     np.save(tmp_path / "melbig.npy",
@@ -279,6 +284,21 @@ def test_cdn_static_serving(tmp_path):
         assert r.status == 302 and r.getheader("Location") == "/cdn/clip7.mp4"
         r.read()
         conn.request("GET", "/audio/a/../b")
+        assert conn.getresponse().status == 404
+        # header-injection / non-latin-1 ids: decoded id is re-quoted, so
+        # CRLF cannot split the response and unicode cannot crash it
+        conn = HTTPConnection("127.0.0.1", srv.server_address[1], timeout=60)
+        conn.request("GET", "/audio/x%0d%0aSet-Cookie:%20pwned%3D1")
+        r = conn.getresponse()
+        assert r.status == 302 and r.getheader("Set-Cookie") is None
+        assert "%0D%0A" in r.getheader("Location").upper()
+        r.read()
+        conn.request("GET", "/audio/%E2%98%83")
+        r = conn.getresponse()
+        assert r.status == 302 and r.getheader("Location") == "/cdn/%E2%98%83.wav"
+        r.read()
+        # embedded NUL must 404, not crash the handler thread
+        conn.request("GET", "/cdn/%00")
         assert conn.getresponse().status == 404
     finally:
         srv.shutdown()
