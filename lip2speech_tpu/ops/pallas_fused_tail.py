@@ -180,14 +180,25 @@ def _fused_forward(xf, weights, fold, kernel_sizes, dilation_sizes,
             xin.at[pl.ds(S, MT2), :], sem)
         dma.start()
         dma.wait()
+        def lrelu(v):
+            # NOT ops.leaky_relu: its where(x >= 0, ...) emits a bf16
+            # vector cmpf that v5e Mosaic rejects ("Target does not support
+            # this comparison" on vector<8x128x2xbf16>). max(x, s*x) is the
+            # same function for 0 < s < 1 (bit-exact: s*x is computed
+            # identically on the negative branch, and rounding cannot cross
+            # x) and lowers to a native VPU max with no predicate. Gradient
+            # ties at 0 don't matter here — the custom_vjp backward runs
+            # through trio_xla, never this kernel.
+            return jnp.maximum(v, LRELU_SLOPE * v)
+
         x = xin[:]
         acc = None
         for rb_geoms in geoms:
             xb = x
             for br in range(len(rb_geoms) // 2):
-                xt = ops.leaky_relu(xb, LRELU_SLOPE)
+                xt = lrelu(xb)
                 xt = conv(xt, rb_geoms[2 * br])
-                xt = ops.leaky_relu(xt, LRELU_SLOPE)
+                xt = lrelu(xt)
                 xt = conv(xt, rb_geoms[2 * br + 1])
                 xb = xb + xt
             acc = xb if acc is None else acc + xb
