@@ -120,7 +120,12 @@ def _build_tables(weights, fold, kernel_sizes, dilation_sizes, dtype):
         geoms.append(rb_geoms)
     wg_all = jnp.concatenate(wg_parts, axis=0)
     bias_all = jnp.stack(bias_rows, axis=0)
-    H = max(halos)
+    # halo rounded up to a multiple of 4 so the DMA slice length
+    # MT2 = MT + 2H stays 8-row-aligned (Mosaic rejects unaligned memref
+    # slices: "Slice shape along dimension 1 must be aligned to tiling (8)");
+    # extra halo rows are inert — the padded input provides them and the
+    # in-sequence mask zeroes anything outside the true rows
+    H = _round_up(max(halos), 4)
     S = max(16, _round_up(max_margin, 16))
     return wg_all, bias_all, geoms, H, S
 
@@ -133,7 +138,16 @@ def _fused_forward(xf, weights, fold, kernel_sizes, dilation_sizes,
     wg_all, bias_all, geoms, H, S = _build_tables(
         weights, fold, kernel_sizes, dilation_sizes, dtype)
 
-    MT = min(block_rows, _round_up(M, 8))
+    # Cap the tile so the kernel's scoped-VMEM stack fits: the unrolled
+    # trio keeps ~32 (BUF, L) temporaries live (measured on v5e: a 19.0M
+    # stack at BUF=1176 f32 rows, vs Mosaic's 16M scoped limit -> VMEM OOM
+    # at the default 1024-row block). Budget 8M leaves 2x headroom for
+    # scheduling variance across geometries.
+    _stack_budget = 8 * 2 ** 20
+    _per_row = L * jnp.dtype(dtype).itemsize
+    _max_buf = _stack_budget // (32 * _per_row)
+    _mt_cap = max(8, (_max_buf - 2 * H - 2 * S) // 8 * 8)
+    MT = min(block_rows, _round_up(M, 8), _mt_cap)
     n_tiles = -(-M // MT)
     Mc = n_tiles * MT
     MT2 = MT + 2 * H

@@ -219,9 +219,37 @@ class Lip2SpeechPipeline:
                 frames_mask = np.concatenate(
                     [np.asarray(frames_mask),
                      np.zeros((pad,) + frames_mask.shape[1:], bool)], axis=0)
-        wav, units, mel, mask = fn(self.stage1_variables, self.vocoder_params,
-                                   jnp.asarray(video), jnp.asarray(frames_mask),
-                                   jnp.asarray(spk_emb))
+        try:
+            wav, units, mel, mask = fn(self.stage1_variables,
+                                       self.vocoder_params,
+                                       jnp.asarray(video),
+                                       jnp.asarray(frames_mask),
+                                       jnp.asarray(spk_emb))
+        except Exception as e:  # noqa: BLE001
+            # serve-time fallback: an optimization must never kill serving
+            # (VERDICT r3 next #2). If the fused-tail kernel fails to
+            # compile on this platform (e.g. the axon relay's Mosaic
+            # remote-compile helper 500s), rebuild the plain-XLA vocoder —
+            # same checkpoint tree, exact same math — and retry once.
+            if not getattr(getattr(self.vocoder, "cfg", None),
+                           "fused_tail_kernel", False):
+                raise
+            import dataclasses as _dc
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fused vocoder tail failed to compile (%s: %s) — falling "
+                "back to the plain XLA vocoder", type(e).__name__,
+                str(e)[:300])
+            self.vocoder = MelCodeGenerator(
+                _dc.replace(self.vocoder.cfg, fused_tail_kernel=False))
+            self._jitted.cache_clear()
+            fn = self._jitted(None)
+            wav, units, mel, mask = fn(self.stage1_variables,
+                                       self.vocoder_params,
+                                       jnp.asarray(video),
+                                       jnp.asarray(frames_mask),
+                                       jnp.asarray(spk_emb))
         wav, units, mel, mask = map(np.asarray, (wav, units, mel, mask))
         results = []
         sr = self.cfg.audio.sample_rate

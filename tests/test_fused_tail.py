@@ -134,6 +134,35 @@ def test_pipeline_fused_integration():
     np.testing.assert_allclose(w1, w0, rtol=2e-4, atol=2e-5)
 
 
+def test_serve_time_fallback_on_kernel_failure(monkeypatch):
+    """An optimization must never kill serving (VERDICT r3 next #2): if the
+    fused-tail kernel fails to compile (the axon relay's Mosaic
+    remote-compile helper can 500), synthesise_batch rebuilds the plain XLA
+    vocoder — same checkpoint tree — and still returns audio."""
+    from lip2speech_tpu.core.config import preset
+    from lip2speech_tpu.ops import pallas_fused_tail
+    from lip2speech_tpu.pipeline.synthesise import Lip2SpeechPipeline
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated Mosaic remote-compile failure")
+
+    monkeypatch.setattr(pallas_fused_tail, "fused_resblock_trio", boom)
+    pipe = Lip2SpeechPipeline.initialize_random(preset("tiny"), seed=0,
+                                                frames=4, fused_tail=True)
+    video = np.zeros((1, 4, 88, 88, 1), np.float32)
+    res = pipe.synthesise_batch(video, np.ones((1, 4), bool),
+                                np.zeros((1, 256), np.float32))
+    assert pipe.vocoder.cfg.fused_tail_kernel is False   # fell back
+    assert np.isfinite(res[0].wav).all()
+    # non-fused pipelines re-raise instead of looping the fallback
+    p0 = Lip2SpeechPipeline.initialize_random(preset("tiny"), seed=0,
+                                              frames=4, fused_tail=False)
+    p0.vocoder = None  # force an unrelated failure
+    with pytest.raises(Exception):
+        p0.synthesise_batch(video, np.ones((1, 4), bool),
+                            np.zeros((1, 256), np.float32))
+
+
 def test_generator_flag_is_transparent():
     """fused_tail_kernel=True: identical param tree, identical waveform."""
     from lip2speech_tpu.core.config import preset
