@@ -54,9 +54,14 @@ def _make_tx(cfg):
     )(learning_rate=cfg.lr)
 
 
-def create_gan_state(cfg: PipelineConfig, rng: jax.Array, sample_batch: dict):
+def create_gan_state(cfg: PipelineConfig, rng: jax.Array, sample_batch: dict,
+                     mpd_periods=None):
+    """mpd_periods overrides the reference MPD period set (2,3,5,7,11) —
+    used only by compile-budgeted smoke paths (__graft_entry__'s multichip
+    dryrun); training always uses the default."""
     gen = MelCodeGenerator(cfg.vocoder)
-    mpd = MultiPeriodDiscriminator()
+    mpd = (MultiPeriodDiscriminator() if mpd_periods is None
+           else MultiPeriodDiscriminator(periods=tuple(mpd_periods)))
     msd = MultiScaleDiscriminator()
 
     g_rng, p_rng, s_rng = jax.random.split(rng, 3)

@@ -1,12 +1,22 @@
 """Quality loop: prove the full stack LEARNS on the bundled LRS3 sample.
 
-Trains a reduced-size stage-1 (conformer multi_target) to overfit the 5 real
-test utterances of /root/reference/datasets/lrs3 (real mouth videos, unit
-labels, mels, speaker embeddings), then stage-2 (multi-input HiFi-GAN) on the
-same audio; snapshots at init/mid/final are pushed through the full
-Lip2SpeechPipeline (greedy unit decode + predicted mel -> vocoder) and scored
-with STOI/ESTOI/PESQ against the ground-truth audio plus unit accuracy and
-mel L1. Artifacts: <out>/quality_loop.json (+ curves) consumed by QUALITY.md.
+Trains a reduced-size stage-1 (conformer multi_target) on real bundled LRS3
+utterances (real mouth videos, unit labels, mels, speaker embeddings), then
+stage-2 (multi-input HiFi-GAN) on the same audio; snapshots at init/mid/final
+are pushed through the full Lip2SpeechPipeline (greedy unit decode +
+predicted mel -> vocoder) and scored with STOI/ESTOI/PESQ against the
+ground-truth audio plus unit accuracy and mel L1. Artifacts:
+<out>/quality_loop.json (+ curves) consumed by QUALITY.md.
+
+Two protocols:
+  overfit (default): train AND evaluate on the 5 test clips — the
+    sanity-check demo from round 3.
+  generalization (VERDICT r3 next #3): --train-split train+valid
+    --eval-split test trains on the 10 trainval clips and evaluates on the
+    5 HELD-OUT test clips (never seen in training) — the in-image analog of
+    the reference's unseen-test headline (/root/reference/README.md:105-107):
+      python scripts/quality_loop.py --train-split train+valid \\
+          --eval-split test --out artifacts/generalization
 
 Training semantics match the reference recipes at reduced scale:
   stage-1: conf/lrs3/multi_target.yaml:55-70 (Adam 0.9/0.98, LS-CE + 10x mel
@@ -48,6 +58,13 @@ def main():
                     help="truncate clips (CPU smoke tests use small values)")
     ap.add_argument("--eval-only", action="store_true",
                     help="skip training; evaluate snapshots saved in --out")
+    ap.add_argument("--train-split", default="test",
+                    help="'+'-joined label splits to train on (e.g. "
+                         "train+valid for the 10 trainval clips)")
+    ap.add_argument("--eval-split", default=None,
+                    help="held-out split to evaluate on (e.g. test); "
+                         "default: evaluate on the training clips (overfit "
+                         "demo)")
     args = ap.parse_args()
 
     import jax
@@ -72,25 +89,46 @@ def main():
     out_dir.mkdir(parents=True, exist_ok=True)
     print(f"platform: {jax.devices()[0].platform}", flush=True)
 
+    # ---- data: real bundled utterances, deterministic transforms ----
+    def split_ds(cls, splits, **kw):
+        parts = [cls(f"{ROOT}/label/{s}.tsv", f"{ROOT}/label/{s}.unt",
+                     root_override=ROOT, **kw) for s in splits]
+        for extra in parts[1:]:
+            parts[0].utts = parts[0].utts + extra.utts
+        return parts[0]
+
+    train_splits = args.train_split.split("+")
+    ds = split_ds(Stage1Dataset, train_splits, train=False,
+                  max_frames=args.max_frames)
+    batch = ds.collate([ds.load(i) for i in range(len(ds))])
+    ids = batch["ids"]
+    print(f"stage-1 batch: video {batch['video'].shape}, ids {ids}", flush=True)
+
+    # held-out evaluation set (generalization protocol); defaults to the
+    # training clips (overfit demo)
+    if args.eval_split:
+        eval_ds = split_ds(Stage1Dataset, [args.eval_split], train=False,
+                           max_frames=args.max_frames)
+        eval_batch = eval_ds.collate(
+            [eval_ds.load(i) for i in range(len(eval_ds))])
+        print(f"eval batch ({args.eval_split}): "
+              f"video {eval_batch['video'].shape}, ids {eval_batch['ids']}",
+              flush=True)
+    else:
+        eval_ds, eval_batch = ds, batch
+    eval_ids = eval_batch["ids"]
+
     cfg = preset("multi_target")
     cfg = with_overrides(cfg, {
         "model.conformer": ConformerConfig(
             dim=args.dim, ffn_dim=2 * args.dim, heads=4, layers=args.layers,
             input_dim=512),
         "stage1.update_freq": 1,
-        "stage1.batch_size": 5,
+        "stage1.batch_size": len(ds),
         "stage1.lr": args.lr1,
         "stage1.warmup_updates": max(args.steps1 // 20, 5),
         "stage1.max_updates": args.steps1,
     })
-
-    # ---- data: the 5 real test utterances, deterministic transforms ----
-    ds = Stage1Dataset(f"{ROOT}/label/test.tsv", f"{ROOT}/label/test.unt",
-                       root_override=ROOT, train=False,
-                       max_frames=args.max_frames)
-    batch = ds.collate([ds.load(i) for i in range(len(ds))])
-    ids = batch["ids"]
-    print(f"stage-1 batch: video {batch['video'].shape}, ids {ids}", flush=True)
 
     # ---- stage-1 overfit ----
     model, tx, state = stage1.create_train_state(
@@ -99,8 +137,9 @@ def main():
     step_fn = stage1.make_train_step(model, tx, cfg)
     eval_step = stage1.make_eval_step(model, cfg)
     stacked = stage1.stack_accum([batch], pad_id=cfg.model.units.pad,
-                                 batch_size=5)
+                                 batch_size=len(ds))
     dev_batch = {k: v for k, v in batch.items() if k != "ids"}
+    eval_dev_batch = {k: v for k, v in eval_batch.items() if k != "ids"}
 
     def snapshot_s1(st, step):
         snap = jax.tree_util.tree_map(
@@ -140,9 +179,8 @@ def main():
         print(f"eval-only: loaded s1 snapshots {sorted(snaps1)}", flush=True)
 
     # ---- stage-2 GAN on the same 5 clips ----
-    ds2 = Stage2Dataset(f"{ROOT}/label/test.tsv", f"{ROOT}/label/test.unt",
-                        cfg=cfg.vocoder, root_override=ROOT, train=True,
-                        seed=args.seed)
+    ds2 = split_ds(Stage2Dataset, train_splits, cfg=cfg.vocoder, train=True,
+                   seed=args.seed)
     b2 = ds2.collate(list(range(len(ds2))))
     b2 = {k: v for k, v in b2.items() if k != "ids"}
     models2, txs2, gstate = stage2.create_gan_state(
@@ -180,20 +218,25 @@ def main():
                   for p in sorted(out_dir.glob("snap_g_*.pkl"))}
         print(f"eval-only: loaded g snapshots {sorted(snaps2)}", flush=True)
 
-    # ---- e2e eval at init / mid / final ----
+    # ---- e2e eval at init / mid / final (held-out when --eval-split) ----
     gt = {}
-    for utt in ds.utts:
+    for utt in eval_ds.utts:
         wav, sr = read_wav(utt.audio_path)
         if wav.ndim > 1:
             wav = wav.mean(axis=1)
         gt[utt.uid] = peak_normalize(wav.astype(np.float32), 0.95)
 
     points = list(zip(sorted(snaps1), sorted(snaps2)))
-    report = {"ids": ids, "n_params_stage1": int(n_params),
+    report = {"train_ids": ids, "eval_ids": eval_ids,
+              "train_split": args.train_split,
+              "eval_split": args.eval_split or args.train_split,
+              "held_out": bool(args.eval_split),
+              "n_params_stage1": int(n_params),
               "config": {"dim": args.dim, "layers": args.layers,
                          "steps1": args.steps1, "steps2": args.steps2,
                          "lr1": args.lr1},
-              "final": {"unit_accuracy": acc_final, "unit_nll": nll_final},
+              "final_train": {"unit_accuracy": acc_final,
+                              "unit_nll": nll_final},
               "snapshots": []}
     # one pipeline instance: params are jit ARGUMENTS, so swapping the attrs
     # between snapshots reuses the single compiled e2e program
@@ -201,21 +244,23 @@ def main():
     for s1_step, s2_step in points:
         pipe.stage1_variables = snaps1[s1_step]
         pipe.vocoder_params = snaps2[s2_step]
-        results = pipe.synthesise_batch(batch["video"], batch["frames_mask"],
-                                        batch["spk_emb"])
-        # unit accuracy / nll of this stage-1 snapshot
+        results = pipe.synthesise_batch(eval_batch["video"],
+                                        eval_batch["frames_mask"],
+                                        eval_batch["spk_emb"])
+        # unit accuracy / nll of this stage-1 snapshot on the EVAL clips
         sv = snaps1[s1_step]
-        c, t, nll = eval_step(sv["params"], sv["batch_stats"], dev_batch)
+        c, t, nll = eval_step(sv["params"], sv["batch_stats"],
+                              eval_dev_batch)
         metrics = {"stoi": [], "estoi": [], "pesq": [], "mel_l1": []}
         for i, res in enumerate(results):
-            uid = ids[i]
+            uid = eval_ids[i]
             m = evaluate_pair(res.wav, gt[uid])
             metrics["stoi"].append(m["stoi"])
             metrics["estoi"].append(m["estoi"])
             if "pesq" in m:
                 metrics["pesq"].append(m["pesq"])
             n_mel = res.mel.shape[0]
-            gt_mel = np.asarray(batch["mel"][i][:n_mel])
+            gt_mel = np.asarray(eval_batch["mel"][i][:n_mel])
             metrics["mel_l1"].append(float(np.abs(res.mel - gt_mel).mean()))
             wav_path = out_dir / f"wav_s1{s1_step}_s2{s2_step}_{i}.npy"
             np.save(wav_path, res.wav)
@@ -224,13 +269,21 @@ def main():
                 "unit_nll": float(nll) / max(float(t), 1.0),
                 **{k: float(np.mean(v)) if v else None
                    for k, v in metrics.items()}}
+        if args.eval_split:
+            tc, tt, tnll = eval_step(sv["params"], sv["batch_stats"],
+                                     dev_batch)
+            snap["train_unit_accuracy"] = float(tc) / max(float(tt), 1.0)
+            snap["train_unit_nll"] = float(tnll) / max(float(tt), 1.0)
         report["snapshots"].append(snap)
         print(json.dumps(snap), flush=True)
 
     if acc_final is None and report["snapshots"]:
-        report["final"] = {
-            "unit_accuracy": report["snapshots"][-1]["unit_accuracy"],
-            "unit_nll": report["snapshots"][-1]["unit_nll"]}
+        report["final_train"] = {
+            "unit_accuracy": report["snapshots"][-1].get(
+                "train_unit_accuracy",
+                report["snapshots"][-1]["unit_accuracy"]),
+            "unit_nll": report["snapshots"][-1].get(
+                "train_unit_nll", report["snapshots"][-1]["unit_nll"])}
     (out_dir / "quality_loop.json").write_text(json.dumps(report, indent=2))
     print("wrote", out_dir / "quality_loop.json", flush=True)
 

@@ -27,6 +27,31 @@ import pytest  # noqa: E402
 
 REFERENCE_DATA = "/root/reference/datasets/lrs3"
 
+# Fast smoke tier (VERDICT r3 next #6): `pytest -m smoke` runs in <5 min and
+# covers the load-bearing paths — graft entry + multichip dryrun, the fused
+# vocoder tail (parity + serve-time fallback), loss/decode equivalence, one
+# real-oracle parity per model family, the e2e pipeline, and the batched
+# serving gateway. Files listed here get the marker on all their non-slow
+# tests; SMOKE_EXCLUDE drops individually expensive cases.
+SMOKE_FILES = {
+    "test_graft_entry.py",
+    "test_fused_tail.py",
+    "test_losses_decode.py",
+    "test_conformer_parity.py",
+    "test_vocoder_parity.py",
+    "test_pipeline_e2e.py",
+    "test_server_batched.py",
+}
+SMOKE_EXCLUDE = {"test_discriminators_run_and_losses"}  # 54 s alone
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (item.fspath.basename in SMOKE_FILES
+                and "slow" not in item.keywords
+                and item.name.split("[")[0] not in SMOKE_EXCLUDE):
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(scope="session")
 def lrs3_sample_dir():
