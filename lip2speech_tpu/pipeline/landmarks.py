@@ -19,11 +19,15 @@ Providers:
     the stable points and the mouth-region center, so a box-aligned mean
     shape reproduces the reference's 96x96 mouth ROI for roughly frontal
     faces. Accuracy is quantified on a synthetic-hard benchmark
-    (tests/landmark_bench.py; table in QUALITY.md): mean box IoU ~0.86,
-    mouth-crop IoU ~0.83, center error 3-5% of face width. Honest failure
-    modes: dense textured clutter adjacent to a still face (box inflates
-    toward clutter), faces occupying <15% of the frame, and profile/rotated
-    faces (the mean shape assumes roughly frontal pose).
+    (tests/landmark_bench.py; table in QUALITY.md): mean box IoU ~0.84
+    in-envelope, mouth-crop IoU ~0.81, center error 3-5% of face width.
+    Beyond-envelope rows are quantified too (r4): 30-deg yaw and 20-deg
+    roll are full quality (box IoU ~0.91); a 55-deg profile proxy degrades
+    to box ~0.55 but keeps crop IoU ~0.76 (the mean shape assumes roughly
+    frontal pose); faces down to ~12% of the frame width are recovered by a
+    relaxed-floor full-frame retry (box ~0.82). Honest remaining failure
+    mode: dense textured clutter adjacent to a STILL face (box inflates
+    toward clutter).
 """
 
 from __future__ import annotations
@@ -389,6 +393,16 @@ class HeuristicLandmarks:
                 det = detect_face_box(small[i], prior_box=prior,
                                       motion=motion, motion_noise=mnoise,
                                       px_scale=float(ds))
+                if det is None and prior is None:
+                    # tiny-face fallback: faces <15% of the frame fail the
+                    # envelope's size floors outright. Retry the FULL-frame
+                    # detect with a relaxed floor — tracked re-detects keep
+                    # the strict floor, so clutter rejection is unchanged
+                    # whenever a face was ever found at the tuned scale.
+                    det = detect_face_box(small[i], prior_box=None,
+                                          motion=motion, motion_noise=mnoise,
+                                          px_scale=float(ds),
+                                          min_rel_size=0.06)
                 if det is not None and ds > 1:
                     det = tuple(v * ds for v in det)
                 if det is not None:

@@ -22,8 +22,15 @@ H, W = 240, 320
 
 def render_video(t=20, seed=0, cx=160.0, cy=120.0, rx=55.0, ry=72.0,
                  background="plain", jitter=0.0, scale_drift=0.0,
-                 distractor=False):
-    """Returns (frames uint8 (t, H, W), gt_boxes list, mouth_centers list)."""
+                 distractor=False, yaw=0.0, roll=0.0):
+    """Returns (frames uint8 (t, H, W), gt_boxes list, mouth_centers list).
+
+    yaw (radians, proxy): compresses the face horizontally by cos(yaw) and
+    shifts the features toward the leading edge by sin(yaw) — the
+    silhouette/feature asymmetry of a turned head. roll (radians): in-plane
+    head rotation of every feature around the face center. Both are the
+    non-frontal cases HeuristicLandmarks documents as its weak spot
+    (reference dlib CNN path: face_landmarks_server.py:55-347)."""
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
 
@@ -55,29 +62,43 @@ def render_video(t=20, seed=0, cx=160.0, cy=120.0, rx=55.0, ry=72.0,
             # static textured corner blob, face-sized
             img[8:78, 8:78] = 120 + 50 * np.sin(xx[8:78, 8:78] / 3.0) * \
                 np.cos(yy[8:78, 8:78] / 4.0)
-        head = ((xx - fx) / _rx) ** 2 + ((yy - fy) / _ry) ** 2 <= 1.0
+        # face-local coordinates (u, v): roll rotates them in-plane, yaw
+        # compresses u and shifts every feature toward the leading edge
+        _rxe = _rx * max(np.cos(yaw), 0.35)
+        du = np.sin(yaw) * 0.35 * _rx
+        ct, st = np.cos(roll), np.sin(roll)
+        u = (xx - fx) * ct + (yy - fy) * st
+        v = -(xx - fx) * st + (yy - fy) * ct
+
+        head = (u / _rxe) ** 2 + (v / _ry) ** 2 <= 1.0
         # shaded skin (radial falloff = face-internal texture)
-        r2 = ((xx - fx) / _rx) ** 2 + ((yy - fy) / _ry) ** 2
+        r2 = (u / _rxe) ** 2 + (v / _ry) ** 2
         img[head] = (195.0 - 35.0 * r2[head])
-        for ex in (fx - 0.42 * _rx, fx + 0.42 * _rx):       # eyes + brows
-            eye = ((xx - ex) / (0.16 * _rx)) ** 2 + \
-                  ((yy - (fy - 0.28 * _ry)) / (0.08 * _ry)) ** 2 <= 1.0
+        for ex in (du - 0.42 * _rxe, du + 0.42 * _rxe):     # eyes + brows
+            eye = ((u - ex) / (0.16 * _rxe)) ** 2 + \
+                  ((v - (-0.28 * _ry)) / (0.08 * _ry)) ** 2 <= 1.0
             img[eye] = 60.0
-            brow = (np.abs(xx - ex) < 0.2 * _rx) & \
-                   (np.abs(yy - (fy - 0.42 * _ry)) < 0.035 * _ry)
+            brow = (np.abs(u - ex) < 0.2 * _rxe) & \
+                   (np.abs(v - (-0.42 * _ry)) < 0.035 * _ry)
             img[brow] = 85.0
-        nose = (np.abs(xx - fx) < 0.05 * _rx) & \
-               (yy > fy - 0.15 * _ry) & (yy < fy + 0.18 * _ry)
+        nose = (np.abs(u - du) < 0.05 * _rxe) & \
+               (v > -0.15 * _ry) & (v < 0.18 * _ry)
         img[nose] = 150.0
-        mouth_y = fy + 0.48 * _ry
+        mouth_v = 0.48 * _ry
         open_px = (0.05 + 0.035 * np.sin(2 * np.pi * i / max(t, 1))) * _ry
-        mouth = (np.abs(xx - fx) < 0.38 * _rx) & \
-                (np.abs(yy - mouth_y) < open_px)
+        mouth = (np.abs(u - du) < 0.38 * _rxe) & \
+                (np.abs(v - mouth_v) < open_px)
         img[mouth] = 40.0
         img += rng.normal(0, 2.0, (H, W))
         frames.append(np.clip(img, 0, 255))
-        boxes.append((fx - _rx, fy - _ry, fx + _rx, fy + _ry))
-        mouths.append((fx, mouth_y))
+        # GT box = bounding box of the rotated ellipse
+        bw = float(np.hypot(_rxe * ct, _ry * st))
+        bh = float(np.hypot(_rxe * st, _ry * ct))
+        boxes.append((fx - bw, fy - bh, fx + bw, fy + bh))
+        # mouth center back in image coordinates
+        mx = fx + du * ct - mouth_v * st
+        my = fy + du * st + mouth_v * ct
+        mouths.append((mx, my))
     return np.stack(frames).astype(np.uint8), boxes, mouths
 
 
@@ -89,7 +110,20 @@ SCENARIOS = {
     "corner_distractor": dict(distractor=True),
     "motion_jitter": dict(jitter=2.5, scale_drift=0.02),
     "clutter_and_motion": dict(background="textured", jitter=2.0),
+    # non-frontal / scale rows (VERDICT r3 next #9): the cases the detector
+    # documents as its weak spot, quantified instead of just listed
+    "yaw_30deg": dict(yaw=np.deg2rad(30.0)),
+    "yaw_55deg_profile": dict(yaw=np.deg2rad(55.0)),
+    "roll_20deg": dict(roll=np.deg2rad(20.0)),
+    "tiny_face_12pct": dict(rx=20.0, ry=26.0),  # face width 12.5% of frame
 }
+
+# scenarios inside the detector's documented operating envelope (the
+# original r3 table); the non-frontal/tiny rows get their own thresholds
+ENVELOPE_SCENARIOS = (
+    "centered_plain", "offcenter_small", "gradient_bg", "textured_clutter",
+    "corner_distractor", "motion_jitter", "clutter_and_motion",
+)
 
 
 def _square_iou(c_pred, c_true, side_pred, side_true) -> float:
