@@ -65,6 +65,16 @@ def main():
                     help="held-out split to evaluate on (e.g. test); "
                          "default: evaluate on the training clips (overfit "
                          "demo)")
+    ap.add_argument("--aug", action="store_true",
+                    help="per-step video augmentation (flip/erase/time-mask"
+                         " — the reference training transforms) on a uint8 "
+                         "wire batch; the generalization protocol's "
+                         "anti-overfit knob")
+    ap.add_argument("--snap-every", type=int, default=0,
+                    help="stage-1 snapshot every N steps (0: init/mid/final"
+                         " only); extra snapshots are evaluated against the"
+                         " FINAL vocoder to trace held-out quality vs "
+                         "training progress")
     args = ap.parse_args()
 
     import jax
@@ -99,7 +109,7 @@ def main():
 
     train_splits = args.train_split.split("+")
     ds = split_ds(Stage1Dataset, train_splits, train=False,
-                  max_frames=args.max_frames)
+                  max_frames=args.max_frames, emit_uint8=args.aug)
     batch = ds.collate([ds.load(i) for i in range(len(ds))])
     ids = batch["ids"]
     print(f"stage-1 batch: video {batch['video'].shape}, ids {ids}", flush=True)
@@ -152,13 +162,41 @@ def main():
         return float(c) / max(float(t), 1.0), float(nll) / max(float(t), 1.0)
 
     rng = jax.random.PRNGKey(args.seed + 1)
+    np_rng = np.random.default_rng(args.seed + 17)
     mid1 = args.steps1 // 2
+
+    def augment(b):
+        """Per-clip reference training transforms (flip / erase / time-mask,
+        data/transforms.py) applied to the collated uint8 batch — fresh
+        draws every step, cheap on the wire (uint8 is 4x smaller)."""
+        from lip2speech_tpu.data.transforms import (UINT8_FILL,
+                                                    horizontal_flip,
+                                                    random_erase, time_mask)
+
+        v = b["video"].copy()
+        for i in range(v.shape[0]):
+            clip = v[i, :, :, :, 0]
+            clip = horizontal_flip(clip, np_rng)
+            clip = random_erase(clip, np_rng, fill=UINT8_FILL)
+            clip = time_mask(clip, np_rng, fill=UINT8_FILL)
+            v[i, :, :, :, 0] = clip
+        return {**b, "video": v}
+
+    def want_snap(step):
+        if step in (mid1, args.steps1):
+            return True
+        return bool(args.snap_every) and step % args.snap_every == 0
+
     acc_final = nll_final = None
     if not args.eval_only:
         snaps1 = {0: snapshot_s1(state, 0)}
         curve1 = []
         t0 = time.time()
         for step in range(1, args.steps1 + 1):
+            if args.aug:
+                stacked = stage1.stack_accum([augment(batch)],
+                                             pad_id=cfg.model.units.pad,
+                                             batch_size=len(ds))
             state, logs = step_fn(state, stacked, jax.random.fold_in(rng, step))
             loss = float(logs["loss"])
             curve1.append(loss)
@@ -166,9 +204,8 @@ def main():
                 acc, nll = acc_of(state)
                 print(f"s1 step {step}: loss {loss:.3f} acc {acc:.4f} "
                       f"nll {nll:.3f} ({time.time() - t0:.0f}s)", flush=True)
-            if step == mid1:
-                snaps1[mid1] = snapshot_s1(state, mid1)
-        snaps1[args.steps1] = snapshot_s1(state, args.steps1)
+            if want_snap(step):
+                snaps1[step] = snapshot_s1(state, step)
         acc_final, nll_final = acc_of(state)
         (out_dir / "s1_curve.json").write_text(json.dumps(curve1))
         print(f"stage-1 done: {n_params / 1e6:.2f}M params, "
@@ -226,7 +263,13 @@ def main():
             wav = wav.mean(axis=1)
         gt[utt.uid] = peak_normalize(wav.astype(np.float32), 0.95)
 
-    points = list(zip(sorted(snaps1), sorted(snaps2)))
+    if args.snap_every:
+        # trace held-out quality vs stage-1 progress against the FINAL
+        # vocoder (init row keeps the all-random floor)
+        s2_last = max(snaps2)
+        points = [(s, 0 if s == 0 else s2_last) for s in sorted(snaps1)]
+    else:
+        points = list(zip(sorted(snaps1), sorted(snaps2)))
     report = {"train_ids": ids, "eval_ids": eval_ids,
               "train_split": args.train_split,
               "eval_split": args.eval_split or args.train_split,

@@ -4,11 +4,19 @@ The generalization run — train stage-1 + stage-2 on the 10 bundled trainval
 clips, evaluate on the 5 HELD-OUT test clips (never seen in training) — is
 the in-image analog of the reference's unseen-test headline
 (/root/reference/README.md:105-107). scripts/quality_loop.py writes the
-artifact; this test locks its result: held-out STOI must beat the
-random-init floor and must improve over the init snapshot.
+artifact; this test locks its result.
+
+On the metric choice: VERDICT r3 proposed asserting held-out STOI above the
+random-init 0.435 "floor", but that floor turned out to be an artifact —
+the random-init vocoder emits near-silence, and STOI (and the approximate
+PESQ) score near-silence spuriously high (measured init: STOI 0.434,
+PESQ 3.66 — while ESTOI, the robust variant, is ~0.02). The metrics that
+actually measure transfer are held-out unit accuracy / NLL, mel L1, and
+ESTOI; those are what this test locks (plus: every one of them must improve
+from the init snapshot).
 
 Reproduce: python scripts/quality_loop.py --train-split train+valid \
-    --eval-split test --out artifacts/generalization
+    --eval-split test --aug --snap-every 100 --out artifacts/generalization
 """
 
 import json
@@ -19,15 +27,12 @@ import pytest
 ART = (Path(__file__).resolve().parents[1] / "artifacts" / "generalization"
        / "quality_loop.json")
 
-# random-init pipeline STOI on the 5 test clips (QUALITY.md r3 measurement)
-RANDOM_INIT_STOI_FLOOR = 0.435
-
 
 def _report():
     if not ART.exists():
         pytest.skip("generalization artifact absent; run "
                     "scripts/quality_loop.py --train-split train+valid "
-                    "--eval-split test --out artifacts/generalization")
+                    "--eval-split test --aug --out artifacts/generalization")
     return json.loads(ART.read_text())
 
 
@@ -41,12 +46,17 @@ def test_held_out_protocol_is_clean():
     assert all(u.startswith("test/") for u in eval_ids)
 
 
-def test_held_out_stoi_beats_random_floor():
+def test_held_out_metrics_beat_random_init():
     rep = _report()
     snaps = rep["snapshots"]
-    final = snaps[-1]
-    assert final["stoi"] > RANDOM_INIT_STOI_FLOOR, (
-        f"held-out STOI {final['stoi']:.3f} does not beat the random-init "
-        f"floor {RANDOM_INIT_STOI_FLOOR}")
-    # training must have improved held-out quality over the init snapshot
-    assert final["stoi"] > snaps[0]["stoi"]
+    init, final = snaps[0], snaps[-1]
+    assert init["s1_step"] == 0
+
+    # units: well above the init model (and ~10x the 1/200 chance rate)
+    assert final["unit_accuracy"] >= max(2.5 * init["unit_accuracy"], 0.03), \
+        (init, final)
+    assert final["unit_nll"] < init["unit_nll"], (init, final)
+    # predicted mel tracks the held-out ground truth far better than init
+    assert final["mel_l1"] <= 0.6 * init["mel_l1"], (init, final)
+    # intelligibility (the robust variant): improved over init
+    assert final["estoi"] > max(init["estoi"], 0.0), (init, final)
