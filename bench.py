@@ -27,6 +27,8 @@ Global budget: BENCH_BUDGET_S env (default 1500 s), headline gets up to
 Detail fields (VERDICT r1 next #6, r2 next #2/#10, r3 next #2/#4):
   flagship_rtf / flagship_mfu_pct   e2e RTF + MFU, AV-HuBERT flagship preset
   batch1_p50_ms          single-clip (9.6 s) p50 serving latency
+  throughput8_rtf        batch-8 throughput config (+ effective MFU; the
+                         ~30 ms relay floor is ~35% of wall at batch 4)
   stage1_train_step_ms   multi_target train step (B=2, T=240, recipe dropout)
   stage1_recipe_step_ms  the REFERENCE operating point: 600-frame bucket,
                          max_tokens 3600 => B=6, update_freq 8, attention
@@ -228,6 +230,28 @@ def measure_batch1():
     return {"batch1_p50_ms": round(p50 * 1e3, 1)}
 
 
+def measure_throughput8():
+    """Serving THROUGHPUT configuration: batch 8. At batch 4 the ~30 ms
+    axon per-call floor is ~35% of wall, so wall-MFU says more about the
+    relay than the program; batch 8 amortizes the floor (offline/batch
+    synthesis and a loaded server both run here via the dynamic batcher)."""
+    rtf, _, fn, args = _e2e("multi_target", batch=8, frames=240, iters=8,
+                            fused=True)
+    out = {"throughput8_rtf": round(rtf, 1)}
+    try:
+        rtf_p, _, fn_p, args_p = _e2e("multi_target", batch=8, frames=240,
+                                      iters=8)
+        mfu = {}
+        _mfu_of(fn_p, args_p, rtf_p, 8, 240, mfu)
+        # effective fused MFU = plain model FLOPs over the fused wall
+        if isinstance(mfu.get("mfu_pct"), (int, float)):
+            out["throughput8_mfu_pct"] = round(
+                mfu["mfu_pct"] * rtf / rtf_p, 2)
+    except Exception as e:  # noqa: BLE001
+        out["throughput8_mfu_pct"] = f"error: {e}"
+    return out
+
+
 def measure_flagship():
     rtf, _, fn, args = _e2e("multi_target_avhubert", batch=4, frames=240,
                             iters=5, fused=True)
@@ -338,6 +362,7 @@ MEASUREMENTS = {
     "headline": measure_headline,
     "plain": measure_plain,
     "batch1": measure_batch1,
+    "throughput8": measure_throughput8,
     "flagship": measure_flagship,
     "stage2": measure_stage2,
     "stage1_recipe": measure_stage1_recipe,
@@ -353,6 +378,7 @@ DETAIL_PLAN = [
     ("plain", 600),
     ("batch1", 600),
     ("flagship", 900),
+    ("throughput8", 600),
     ("stage2", 600),
     ("stage1_recipe", 900),
     ("stage1", 600),

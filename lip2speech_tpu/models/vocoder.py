@@ -202,6 +202,11 @@ class SpectralOrWNConv1d(nn.Module):
         if self.groups == 1 and in_dim * self.kernel_size <= 16:
             # MSD's first conv (Cin=1, k=15): timestack taps -> one matmul
             return ops.conv1d_timestack(x, w, b, self.stride, self.padding)
+        if self.groups > 1 and self.features // self.groups < 128:
+            # 16-64-lane grouped convs dominate the GAN step on TPU —
+            # lane-pack groups into block-diagonal dense blocks (exact)
+            return ops.conv1d_group_packed(x, w, b, self.stride,
+                                           self.padding, self.groups)
         return ops.conv1d(x, w, b, self.stride, self.padding, 1, self.groups)
 
 

@@ -53,6 +53,50 @@ def conv1d(
     return out
 
 
+def conv1d_group_packed(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray | None = None,
+    stride: int = 1,
+    padding: int = 0,
+    groups: int = 1,
+    lanes: int = 128,
+) -> jnp.ndarray:
+    """Grouped conv1d with groups LANE-PACKED into block-diagonal dense blocks.
+
+    A grouped conv with Cout/groups < 128 can use at most (Cout/groups)/128
+    of the MXU's output lanes — the reference MSD's g=16 convs
+    (speech-resynthesis models.py DiscriminatorS) run 16-64 lanes wide, and
+    measured on the chip they dominate the stage-2 GAN step (MSD grad
+    36.7 ms of the 77.8 ms step; MPD after batched-period layout: 3.6 ms).
+
+    Reformulation: merge `pack = lanes // (Cout/groups)` adjacent groups into
+    one dense group whose weight is BLOCK-DIAGONAL (structural zeros off the
+    blocks), dropping feature_group_count by `pack` and filling all 128
+    output lanes. The extra MACs multiply zeros, so outputs and gradients
+    are exact (grads to the off-block positions are discarded by the
+    einsum-with-identity construction). FLOPs inflate x pack — the trade
+    the chip-validated fused vocoder tail already wins: these convs are
+    lane-bound, not FLOP-bound.
+
+    x: (B, T, Cin); w: (K, Cin/groups, Cout). Same contract as conv1d.
+    """
+    k, cin_g, cout = w.shape
+    cout_g = cout // groups
+    pack = max(1, min(groups, lanes // max(cout_g, 1)))
+    if pack <= 1:
+        return conv1d(x, w, b, stride, padding, 1, groups)
+    gsets = groups // pack
+    # w (K, Cin_g, Cout) -> (K, Cin_g, gsets, pack, Cout_g); the packed dense
+    # weight puts original group p of a set at input-block row b==p:
+    # w'[k, b*Cin_g + i, (s*pack + p)*Cout_g + o] = w[...] * eye[b, p]
+    w5 = w.reshape(k, cin_g, gsets, pack, cout_g)
+    eye = jnp.eye(pack, dtype=w.dtype)
+    wp = jnp.einsum("kispo,bp->kbispo", w5, eye).reshape(
+        k, pack * cin_g, cout)
+    return conv1d(x, wp, b, stride, padding, 1, gsets)
+
+
 def conv2d(
     x: jnp.ndarray,
     w: jnp.ndarray,

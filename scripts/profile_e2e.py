@@ -50,7 +50,10 @@ def main():
     B, T = args_cli.batch, args_cli.frames
     rng = np.random.default_rng(0)
     video = jnp.asarray(rng.standard_normal((B, T, 88, 88, 1)), jnp.float32)
-    mask = jnp.ones((B, T), bool)
+    # masks stay NUMPY: a device array captured as a jit constant forces a
+    # lowering-time value fetch over the relay (observed FAILED_PRECONDITION
+    # in profile_gan.py) — numpy closures embed without a device roundtrip
+    mask = np.ones((B, T), bool)
     spk = jnp.asarray(rng.standard_normal((B, 256)), jnp.float32)
 
     model, vocoder = pipe.model, pipe.vocoder
@@ -85,7 +88,7 @@ def main():
 
     # conformer alone on frontend-shaped features (50 Hz, dim d)
     feats = jnp.asarray(rng.standard_normal((B, T, 512)), jnp.bfloat16)
-    mask2 = jnp.ones((B, 2 * T), bool)
+    mask2 = np.ones((B, 2 * T), bool)    # numpy: see `mask` note above
     x50 = jnp.asarray(rng.standard_normal((B, 2 * T, cfg.model.conformer.dim)),
                       jnp.bfloat16)
 

@@ -71,23 +71,25 @@ def main():
     def scalar(y):
         return jnp.sum(y.astype(jnp.float32))
 
+    # every sub-program takes its tensors as ARGUMENTS — capturing device
+    # arrays as jit constants forces a lowering-time value fetch over the
+    # relay (observed FAILED_PRECONDITION) and bloats the compiled program
     @jax.jit
-    def floor_fn(c):
-        return scalar(batch["audio"][:2, :64])
+    def floor_fn(audio):
+        return scalar(audio[:2, :64])
 
     g_params = state.gen_params
 
     @jax.jit
-    def g_fwd(p):
-        wav = gen.apply({"params": p}, batch["code"], batch["mel"],
-                        batch["spk_emb"], deterministic=True)
+    def g_fwd(p, code, mel, spk):
+        wav = gen.apply({"params": p}, code, mel, spk, deterministic=True)
         return scalar(wav)
 
     @jax.jit
-    def g_grad(p):
+    def g_grad(p, code, mel, spk):
         def loss(p):
-            wav = gen.apply({"params": p}, batch["code"], batch["mel"],
-                            batch["spk_emb"], deterministic=True)
+            wav = gen.apply({"params": p}, code, mel, spk,
+                            deterministic=True)
             return jnp.sum(wav ** 2)
         gr = jax.grad(loss)(p)
         return sum(jnp.sum(g * g) for g in jax.tree_util.tree_leaves(gr))
@@ -96,19 +98,18 @@ def main():
     mpd_p, msd_p = state.mpd_params, state.msd_params
 
     @jax.jit
-    def d_fwd(mp, sp):
-        rs, gs, _, _ = mpd.apply({"params": mp}, batch["audio"], wav_fake)
-        r2, g2, _, _ = msd.apply(
-            {"params": sp, "spectral": state.msd_spectral},
-            batch["audio"], wav_fake, mutable=["spectral"])[0]
+    def d_fwd(mp, sp, spectral, real, fake):
+        rs, gs, _, _ = mpd.apply({"params": mp}, real, fake)
+        r2, g2, _, _ = msd.apply({"params": sp, "spectral": spectral},
+                                 real, fake, mutable=["spectral"])[0]
         return sum(scalar(x) for x in rs + gs + r2 + g2)
 
     @jax.jit
-    def d_grad(mp, sp):
+    def d_grad(mp, sp, spectral, real, fake):
         def loss(mp, sp):
-            rs, gs, _, _ = mpd.apply({"params": mp}, batch["audio"], wav_fake)
-            out = msd.apply({"params": sp, "spectral": state.msd_spectral},
-                            batch["audio"], wav_fake, mutable=["spectral"])
+            rs, gs, _, _ = mpd.apply({"params": mp}, real, fake)
+            out = msd.apply({"params": sp, "spectral": spectral},
+                            real, fake, mutable=["spectral"])
             r2, g2, _, _ = out[0]
             l = 0.0
             for d in rs + g2 + gs + r2:
@@ -117,12 +118,59 @@ def main():
         gr = jax.grad(loss, argnums=(0, 1))(mp, sp)
         return sum(jnp.sum(g * g) for g in jax.tree_util.tree_leaves(gr))
 
-    floor = sync_time(floor_fn, (batch["code"],), args.iters)
+    # --- per-discriminator attribution (is it MPD or MSD?) ---
+    @jax.jit
+    def mpd_fwd(mp, real, fake):
+        rs, gs, _, _ = mpd.apply({"params": mp}, real, fake)
+        return sum(scalar(x) for x in rs + gs)
+
+    @jax.jit
+    def mpd_grad(mp, real, fake):
+        def loss(mp):
+            rs, gs, _, _ = mpd.apply({"params": mp}, real, fake)
+            return sum(jnp.mean(jnp.square(d)) for d in rs + gs)
+        gr = jax.grad(loss)(mp)
+        return sum(jnp.sum(g * g) for g in jax.tree_util.tree_leaves(gr))
+
+    @jax.jit
+    def msd_fwd(sp, spectral, real, fake):
+        rs, gs, _, _ = msd.apply({"params": sp, "spectral": spectral},
+                                 real, fake, mutable=["spectral"])[0]
+        return sum(scalar(x) for x in rs + gs)
+
+    @jax.jit
+    def msd_grad(sp, spectral, real, fake):
+        def loss(sp):
+            out = msd.apply({"params": sp, "spectral": spectral},
+                            real, fake, mutable=["spectral"])
+            rs, gs, _, _ = out[0]
+            return sum(jnp.mean(jnp.square(d)) for d in rs + gs)
+        gr = jax.grad(loss)(sp)
+        return sum(jnp.sum(g * g) for g in jax.tree_util.tree_leaves(gr))
+
+    g_args = (batch["code"], batch["mel"], batch["spk_emb"])
+    d_args = (state.msd_spectral, batch["audio"], wav_fake)
+    floor = sync_time(floor_fn, (batch["audio"],), args.iters)
     out = {"floor_ms": round(floor, 2)}
-    out["g_fwd_ms"] = round(sync_time(g_fwd, (g_params,), args.iters) - floor, 1)
-    out["g_grad_ms"] = round(sync_time(g_grad, (g_params,), args.iters) - floor, 1)
-    out["d_fwd_ms"] = round(sync_time(d_fwd, (mpd_p, msd_p), args.iters) - floor, 1)
-    out["d_grad_ms"] = round(sync_time(d_grad, (mpd_p, msd_p), args.iters) - floor, 1)
+    out["g_fwd_ms"] = round(
+        sync_time(g_fwd, (g_params,) + g_args, args.iters) - floor, 1)
+    out["g_grad_ms"] = round(
+        sync_time(g_grad, (g_params,) + g_args, args.iters) - floor, 1)
+    out["d_fwd_ms"] = round(
+        sync_time(d_fwd, (mpd_p, msd_p) + d_args, args.iters) - floor, 1)
+    out["d_grad_ms"] = round(
+        sync_time(d_grad, (mpd_p, msd_p) + d_args, args.iters) - floor, 1)
+    ra, fa = batch["audio"], wav_fake
+    out["mpd_fwd_ms"] = round(
+        sync_time(mpd_fwd, (mpd_p, ra, fa), args.iters) - floor, 1)
+    out["mpd_grad_ms"] = round(
+        sync_time(mpd_grad, (mpd_p, ra, fa), args.iters) - floor, 1)
+    out["msd_fwd_ms"] = round(
+        sync_time(msd_fwd, (msd_p, state.msd_spectral, ra, fa),
+                  args.iters) - floor, 1)
+    out["msd_grad_ms"] = round(
+        sync_time(msd_grad, (msd_p, state.msd_spectral, ra, fa),
+                  args.iters) - floor, 1)
     out["full_gan_step_ms"] = round(
         time_step(step, state, max(3, args.iters // 2)) - floor, 1)
     print(json.dumps(out))

@@ -107,6 +107,46 @@ def test_conv1d_timestack_parity():
             np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), atol=2e-4)
 
 
+def test_conv1d_group_packed_parity():
+    """Lane-packed grouped conv (block-diagonal dense blocks) is exact vs
+    the plain grouped conv — outputs and gradients — across the MSD's
+    grouped-conv specs (speech-resynthesis models.py DiscriminatorS:
+    g=4/16, Cout/g 16-64, k=41, strides 1/2/4) plus a non-dividing-pack
+    case (pack clamped to groups)."""
+    import jax
+
+    for cin, cout, g, k, stride, pad in [
+        (128, 128, 4, 41, 2, 20),    # pack=4 -> fully dense
+        (128, 256, 16, 41, 2, 20),   # Cout_g=16 -> pack=8, fgc 2
+        (256, 512, 16, 41, 4, 20),   # Cout_g=32 -> pack=4, fgc 4
+        (512, 1024, 16, 41, 4, 20),  # Cout_g=64 -> pack=2, fgc 8
+        (1024, 1024, 16, 5, 1, 2),   # Cout_g=64, Cin_g=64
+        (12, 24, 2, 5, 1, 2),        # tiny: pack clamps to groups (dense)
+    ]:
+        x = jnp.asarray(RNG.standard_normal((2, 101, cin)).astype(np.float32))
+        w = jnp.asarray(0.1 * RNG.standard_normal((k, cin // g, cout))
+                        .astype(np.float32))
+        b = jnp.asarray(RNG.standard_normal(cout).astype(np.float32))
+        ref = np.asarray(ops.conv1d(x, w, b, stride=stride, padding=pad,
+                                    groups=g))
+        out = np.asarray(ops.conv1d_group_packed(x, w, b, stride=stride,
+                                                 padding=pad, groups=g))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+        f_ref = lambda *a: jnp.sum(  # noqa: E731
+            ops.conv1d(*a, stride=stride, padding=pad, groups=g) ** 2)
+        f_pack = lambda *a: jnp.sum(  # noqa: E731
+            ops.conv1d_group_packed(*a, stride=stride, padding=pad,
+                                    groups=g) ** 2)
+        g_r = jax.grad(f_ref, argnums=(0, 1, 2))(x, w, b)
+        g_p = jax.grad(f_pack, argnums=(0, 1, 2))(x, w, b)
+        for gr, gp in zip(g_r, g_p):
+            scale = max(1.0, float(np.abs(np.asarray(gr)).max()))
+            np.testing.assert_allclose(np.asarray(gp) / scale,
+                                       np.asarray(gr) / scale, atol=3e-5)
+
+
 def test_conv_transpose1d_parity():
     # the vocoder's 5 upsample stages: (rate, kernel) pairs from multi_input.json
     for stride, k in [(5, 11), (4, 8), (2, 4), (2, 4), (2, 4)]:
