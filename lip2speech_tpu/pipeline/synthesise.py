@@ -179,9 +179,15 @@ class Lip2SpeechPipeline:
             if self.emit_int16:
                 wav = jnp.clip(wav.astype(jnp.float32) * 32767.0,
                                -32768, 32767).astype(jnp.int16)
+                # serving wire mode: mel rides device->host as f16 (exact
+                # enough for the artifact — log-mels span ~±12 — and halves
+                # the second-largest transfer; the relay moves ~45 MB/s, so
+                # at batch 4 the f32 mel alone costs ~15 ms of latency)
+                mel = out["mel"].astype(jnp.float16)
             else:
                 wav = wav.astype(jnp.float32)
-            return wav, units, out["mel"].astype(jnp.float32), out["mask"]
+                mel = out["mel"].astype(jnp.float32)
+            return wav, units, mel, out["mask"]
 
         if self.mesh is None:
             return jax.jit(e2e)
