@@ -37,7 +37,9 @@ Detail fields (VERDICT r1 next #6, r2 next #2/#10, r3 next #2/#4):
                          the lowered step (stage1_flash_active)
   stage1_train_mfu_pct   recipe-step model FLOPs / wall / chip peak
   stage2_train_step_ms   vocoder GAN step (B=8, 8960-sample segments)
-  stage2_train_mfu_pct   GAN-step MFU
+  stage2_train_mfu_pct   GAN-step MFU (counts the lane-packed MSD's
+                         block-diagonal MACs — executed, not model math;
+                         wall time is the honest cross-version metric)
   mfu_pct                serving e2e MFU (XLA cost analysis)
   fused_tail             on-chip status of the fused resblock-trio kernel
 
@@ -101,7 +103,11 @@ def _peak_flops():
     return next((p for s, p in PEAK_TFLOPS if s in kind), 197.0) * 1e12
 
 
-def _e2e(pipe_cfg_name, batch, frames, iters, fused=False):
+def _e2e(pipe_cfg_name, batch, frames, iters, fused=False, flash=None):
+    """fused: vocoder-tail Pallas kernel. flash: conformer flash attention —
+    None = serving auto (ON on TPU); the PLAIN measurement forces False so
+    XLA's cost analysis sees every model FLOP (custom calls are invisible).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -113,7 +119,8 @@ def _e2e(pipe_cfg_name, batch, frames, iters, fused=False):
     # reformulation measured 4-6x SLOWER on the chip (NOTES r3: XLA
     # materializes the patch construction instead of fusing it)
     pipe = Lip2SpeechPipeline.initialize_random(cfg, seed=0, frames=8,
-                                                fused_tail=fused)
+                                                fused_tail=fused,
+                                                use_flash=flash)
     # serving configuration: bf16 compute + device-side PCM16 output
     pipe.compute_dtype = jnp.bfloat16
     pipe.emit_int16 = True
@@ -215,7 +222,8 @@ def measure_plain():
     see inside the fused custom call, and the folded tail's G-block MACs
     inflate the counted FLOPs ~26% — the plain path's count is what both
     share as model math)."""
-    rtf, _, fn, args = _e2e("multi_target", batch=4, frames=240, iters=10)
+    rtf, _, fn, args = _e2e("multi_target", batch=4, frames=240, iters=10,
+                            flash=False)
     out = {"plain_rtf": round(rtf, 3)}
     mfu = {}
     _mfu_of(fn, args, rtf, 4, 240, mfu)
@@ -240,7 +248,7 @@ def measure_throughput8():
     out = {"throughput8_rtf": round(rtf, 1)}
     try:
         rtf_p, _, fn_p, args_p = _e2e("multi_target", batch=8, frames=240,
-                                      iters=8)
+                                      iters=8, flash=False)
         mfu = {}
         _mfu_of(fn_p, args_p, rtf_p, 8, 240, mfu)
         # effective fused MFU = plain model FLOPs over the fused wall

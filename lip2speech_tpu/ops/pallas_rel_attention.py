@@ -546,6 +546,18 @@ def rel_flash_attention(q_u, q_v, k, v, p, mask,
     kernels via the TPU PRNG (the reference recipe's attention_dropout);
     masks are regenerated identically in the backward from dropout_seed
     (an int32 scalar/1-vector). TPU-only (interpret-mode PRNG is stubbed)."""
+    if q_u.shape[2] < block and not interpret:
+        # Tiny sequences (< one k-block, e.g. a pipeline init forward at
+        # T=16) shrink the kernel's block to T, and Mosaic then rejects the
+        # sub-128-lane i32 mask load ("cannot statically prove that index in
+        # dimension 2 is a multiple of 128"). Flash buys nothing below one
+        # block anyway — run the dense reference path (differentiable, same
+        # math; dropout at these call sites is inference-off).
+        if dropout_rate > 0.0:
+            raise NotImplementedError(
+                "in-kernel attention dropout needs T >= block "
+                f"(got T={q_u.shape[2]} < block={block})")
+        return dense_rel_attention(q_u, q_v, k, v, p, mask)
     if dropout_seed is None:
         seed = jnp.zeros((1,), jnp.int32)
     else:

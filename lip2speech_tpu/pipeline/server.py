@@ -838,17 +838,18 @@ def make_server(port: int = 5002,
                 db_path: str = ":memory:",
                 use_batcher: bool = False,
                 fused_tail: bool | None = None,
+                use_flash: bool | None = None,
                 **state_kw) -> ThreadingHTTPServer:
     if pipelines is None:
         cfg = cfg or preset("multi_target")
         pipelines = {"multi_target": Lip2SpeechPipeline.initialize_random(
-            cfg, fused_tail=fused_tail)}
-    elif fused_tail is not None:
+            cfg, fused_tail=fused_tail, use_flash=use_flash)}
+    elif fused_tail is not None or use_flash is not None:
         # already-built pipelines carry their own (auto-resolved) setting;
         # silently ignoring the flag would contradict the caller
-        raise ValueError("fused_tail only applies when make_server builds "
-                         "the pipeline; pass it to the Lip2SpeechPipeline "
-                         "constructor instead")
+        raise ValueError("fused_tail/use_flash only apply when make_server "
+                         "builds the pipeline; pass them to the "
+                         "Lip2SpeechPipeline constructor instead")
     state = ServerState(pipelines, active=sorted(pipelines)[0], db_path=db_path,
                         use_batcher=use_batcher, **state_kw)
     handler = type("BoundHandler", (Handler,), {"state": state})
@@ -875,6 +876,9 @@ def main():
     p.add_argument("--no-fused-tail", action="store_true",
                    help="disable the VMEM-fused vocoder-tail Pallas kernel "
                         "(auto-enabled when serving on TPU)")
+    p.add_argument("--no-flash", action="store_true",
+                   help="disable the Pallas flash rel-attention in the "
+                        "conformer (auto-enabled when serving on TPU)")
     p.add_argument("--batcher", action="store_true",
                    help="coalesce concurrent requests into batched device calls")
     p.add_argument("--warmup", action="store_true",
@@ -913,7 +917,8 @@ def main():
             pipelines[name] = Lip2SpeechPipeline.from_checkpoints(
                 preset(preset_name), s1_path, voc_path,
                 compute_dtype=dtype, emit_int16=False,
-                fused_tail=False if args.no_fused_tail else None)
+                fused_tail=False if args.no_fused_tail else None,
+                use_flash=False if args.no_flash else None)
     else:
         print("WARNING: no --checkpoint given; serving RANDOM weights "
               "(smoke-test mode)")
@@ -924,6 +929,8 @@ def main():
                          # pre-built pipelines got the flag in
                          # from_checkpoints; make_server rejects it then
                          fused_tail=(False if args.no_fused_tail else None)
+                         if pipelines is None else None,
+                         use_flash=(False if args.no_flash else None)
                          if pipelines is None else None,
                          default_audio_dir=args.default_audio_dir,
                          asr=try_load_asr(args.asr_model),

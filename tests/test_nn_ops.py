@@ -115,6 +115,10 @@ def test_conv1d_group_packed_parity():
     case (pack clamped to groups)."""
     import jax
 
+    # local rng: drawing from the shared module RNG shifts every later
+    # test's inputs (test_batch_norm_train_bf16_keeps_f32_stats's tolerance
+    # is calibrated to the original stream)
+    rng = np.random.default_rng(1234)
     for cin, cout, g, k, stride, pad in [
         (128, 128, 4, 41, 2, 20),    # pack=4 -> fully dense
         (128, 256, 16, 41, 2, 20),   # Cout_g=16 -> pack=8, fgc 2
@@ -123,10 +127,10 @@ def test_conv1d_group_packed_parity():
         (1024, 1024, 16, 5, 1, 2),   # Cout_g=64, Cin_g=64
         (12, 24, 2, 5, 1, 2),        # tiny: pack clamps to groups (dense)
     ]:
-        x = jnp.asarray(RNG.standard_normal((2, 101, cin)).astype(np.float32))
-        w = jnp.asarray(0.1 * RNG.standard_normal((k, cin // g, cout))
+        x = jnp.asarray(rng.standard_normal((2, 101, cin)).astype(np.float32))
+        w = jnp.asarray(0.1 * rng.standard_normal((k, cin // g, cout))
                         .astype(np.float32))
-        b = jnp.asarray(RNG.standard_normal(cout).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
         ref = np.asarray(ops.conv1d(x, w, b, stride=stride, padding=pad,
                                     groups=g))
         out = np.asarray(ops.conv1d_group_packed(x, w, b, stride=stride,

@@ -143,6 +143,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert found.name == "g_00000200"
 
 
+@pytest.mark.heavymesh
 def test_stage2_gan_step_on_mesh_matches_single_device():
     """DP-sharded GAN step over the 8-device CPU mesh == mesh-less step.
 
@@ -186,6 +187,7 @@ def test_stage2_gan_step_on_mesh_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
 
 
+@pytest.mark.heavymesh
 def test_stage2_gan_step_on_mesh_with_fused_gen():
     """--fused-gen on a dp mesh: the generator's Pallas trio kernel cannot
     be auto-partitioned by GSPMD, so make_gan_step declares the mesh and the
