@@ -2,22 +2,25 @@
 conformer trunk's hot op.
 
 The XL position score BD[i, j] = q_v[i] . p[(T-1) - i + j] only depends on
-the diagonal (j - i), so for a (bq, bk) block pair it is one matmul against a
-contiguous slice of the projected position table followed by a banded
-extraction:
+the diagonal (j - i), so for a q-block of bq rows it is ONE matmul against a
+contiguous (bq+T)-row window of the projected position table followed by a
+banded extraction over the whole row:
 
-    Gp = q_v_blk @ p_pad[s : s + bq+bk].T       # (bq, bq+bk) lane-aligned
-    BD[a, b] = Gp[a, bq - a + b]                # per-row shear
+    Gp = q_v_blk @ p_pad[s0 : s0 + bq+T].T      # (bq, bq+T) lane-aligned
+    BD[a, j] = Gp[a, bq - a + j]                # per-row shear, j in [0, T)
 
-Mosaic cannot reshape/slice ragged (bq+bk-1)-wide tiles, so the shear is
-decomposed into log2(bq+bk) STATIC pltpu.roll steps gated by the bits of the
-per-row rotation amount (rotate row a left by bq-a; indices stay in
-[1, bq+bk-1] so the rotation never wraps into read positions). p_pad carries
-one never-read junk row at the front to keep Gp lane-aligned.
+Mosaic cannot reshape/slice ragged diagonals, so the shear is decomposed
+into STATIC pltpu.roll steps gated by the bits of the per-row rotation
+amount. The rotation is bq - a <= bq, so only log2(bq)+1 roll+where passes
+are needed, ONCE per q-block (an earlier per-(q, k)-block-pair variant paid
+log2(bq+bk) passes per PAIR — measured ~75% of kernel time in shear lane
+shuffles at the training shapes; see NOTES "flash shear hoist"). p_pad
+carries one never-read junk row at the front to keep Gp lane-aligned.
 
-Scores = (AC + BD)/sqrt(dk) stream through an online softmax, so the (T, T)
-score tensor never hits HBM (at T=1200 that is ~180 MB/layer saved).
-Runs compiled on TPU; interpret mode elsewhere.
+Each program computes its full (bq, T) masked score row in VMEM with three
+MXU matmuls + one shear, takes a plain row softmax, and multiplies into V —
+the (T, T) score tensor never hits HBM (at T=1200 that is ~180 MB/layer
+saved). Runs compiled on TPU; interpret mode elsewhere.
 
 Training: `rel_flash_attention` carries a custom VJP. The forward kernel
 additionally emits the per-row log-sum-exp; the default backward
@@ -34,6 +37,7 @@ native precision), the accuracy regime bf16 training already lives in.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -56,48 +60,57 @@ def _band_extract(g: jnp.ndarray, bk: int) -> jnp.ndarray:
     return r.reshape(bq, bq + bk - 1)[:, :bk]
 
 
-def _band_extract_rolls(gp: jnp.ndarray, bk: int) -> jnp.ndarray:
-    """(bq, bq+bk) lane-aligned matrix (col 0 never read) -> (bq, bk) with
-    out[a, b] = gp[a, bq - a + b], via log2 static rolls (Mosaic-friendly)."""
-    bq, w2 = gp.shape
+def _band_extract_row_rolls(g: jnp.ndarray, t: int) -> jnp.ndarray:
+    """(bq, bq+t) lane-aligned matrix (col 0 never read) -> (bq, t) with
+    out[a, j] = g[a, bq - a + j], via static rolls (Mosaic-friendly).
+
+    The per-row left-rotation amount is bq - a <= bq, so only the bits of
+    bq participate: ceil(log2(bq))+1 roll+where passes TOTAL for the whole
+    q-block row — this is the entire shear cost of one q-block (the r4
+    rewrite that replaced the per-(q, k)-pair shear; NOTES "flash shear
+    hoist")."""
+    bq, w2 = g.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (bq, w2), 0)
-    rot = (bq - rows) % w2
-    x = gp
+    rot = bq - rows                                # in [1, bq], never wraps
+    x = g
     shift = 1
-    while shift < w2:
+    while shift <= bq:
         rolled = pltpu.roll(x, w2 - shift, 1)      # left-rotate by `shift`
         x = jnp.where((rot & shift) > 0, rolled, x)
         shift *= 2
-    return x[:, :bk]
+    return x[:, :t]
 
 
-def _band_scatter_rolls(ds: jnp.ndarray, w2: int) -> jnp.ndarray:
-    """Inverse of _band_extract_rolls: (bq, bk) band grads -> (bq, w2)
-    with out[a, (bq - a + b) % w2] = ds[a, b] (zeros elsewhere).
+def _band_scatter_row_rolls(ds: jnp.ndarray, w2: int) -> jnp.ndarray:
+    """Inverse of _band_extract_row_rolls: (bq, t) band grads -> (bq, w2)
+    with out[a, bq - a + j] = ds[a, j] (zeros elsewhere).
 
-    Right-rotating row a by rot_a undoes the extract's left rotation; the
-    zero-padded columns [bk:] land on the never-read positions (incl. the
-    junk column 0), so no explicit masking is needed."""
-    bq, bk = ds.shape
-    x = jnp.pad(ds, ((0, 0), (0, w2 - bk)))
+    Right-rotating row a by rot_a = bq - a <= bq undoes the extract's left
+    rotation (same bounded log2(bq) pass count); the zero-padded columns
+    [t:] land on the never-read positions (incl. the junk column 0), so no
+    explicit masking is needed."""
+    bq, t = ds.shape
+    x = jnp.pad(ds, ((0, 0), (0, w2 - t)))
     rows = jax.lax.broadcasted_iota(jnp.int32, (bq, w2), 0)
-    rot = (rows - bq) % w2          # right-rotate by (bq - a) == left by this
+    rot = bq - rows                                # right-rotate amount
     shift = 1
-    while shift < w2:
-        rolled = pltpu.roll(x, w2 - shift, 1)
+    while shift <= bq:
+        rolled = pltpu.roll(x, shift, 1)           # right-rotate by `shift`
         x = jnp.where((rot & shift) > 0, rolled, x)
         shift *= 2
     return x
 
 
-def _scores_block(qu, qv, k_blk, p_slice, mask_blk, scale, block_k):
-    """Masked (bq, bk) scores for one (q-block, k-block) pair — shared by
-    the forward and both backward kernels."""
-    ac = jnp.dot(qu, k_blk.T, preferred_element_type=jnp.float32)
-    g = jnp.dot(qv, p_slice.T, preferred_element_type=jnp.float32)
-    bd = _band_extract_rolls(g, block_k)
+def _scores_row(qu, qv, k_full, p_win, maskf, scale):
+    """Masked (bq, T) scores for one q-block against ALL keys — shared by
+    the forward and backward kernels. Three big MXU matmuls + ONE shear:
+    the (bq, T) row lives only in VMEM registers, never HBM."""
+    t = k_full.shape[0]
+    ac = jnp.dot(qu, k_full.T, preferred_element_type=jnp.float32)
+    g = jnp.dot(qv, p_win.T, preferred_element_type=jnp.float32)
+    bd = _band_extract_row_rolls(g, t)
     s = (ac + bd) * scale
-    return jnp.where(mask_blk[None, :] > 0, s, NEG_INF)
+    return jnp.where(maskf > 0, s, NEG_INF)
 
 
 def _keep_mask(shape, rate: float):
@@ -116,15 +129,20 @@ def _kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref,
             dropout_rate: float):
     """One (batch*head, q-block) program.
 
-    qu/qv: (1, bq, dk); k/v: (1, T, dk); p: (1, 2T-1, dk); mask: (1, 1, T).
+    qu/qv: (1, bq, dk); k/v: (1, T, dk); p: (1, 2T, dk) junk-padded;
+    mask: (1, 1, T). The whole key axis is processed at once: the (bq, T)
+    score row fits VMEM at every supported T (128 x 2400 f32 = 1.2 MB),
+    softmax is a plain row reduction, and the XL band shear runs ONCE per
+    q-block (log2(bq)+1 bounded rolls) instead of once per (q, k) block
+    pair — the per-pair online-softmax k-loop this replaced spent ~75% of
+    its time in shear lane shuffles (NOTES "flash shear hoist").
     Also emits the per-row log-sum-exp (the backward pass's softmax state).
-    dropout_rate > 0 drops attention PROBABILITIES (normalizer l is always
+    dropout_rate > 0 drops attention PROBABILITIES (the normalizer is
     computed from the undropped terms, matching dense softmax->dropout
     order); masks come from the in-kernel PRNG seeded per (bh, q-block).
     """
     _, bq, dk = qu_ref.shape
     t = k_ref.shape[1]
-    n_kb = t // block_k
     qi = pl.program_id(1) * bq
     if dropout_rate > 0.0:
         # single-argument seed (this Mosaic rejects varargs prng_seed):
@@ -134,37 +152,25 @@ def _kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref,
 
     qu = qu_ref[0, :, :]
     qv = qv_ref[0, :, :]
+    k_full = k_ref[0, :, :]
+    v_full = v_ref[0, :, :]
+    mask_row = mask_ref[0, 0, :]
 
-    def body(kb, carry):
-        acc, m_prev, l_prev = carry
-        kj = pl.multiple_of(kb * block_k, block_k)
-        k_blk = k_ref[0, pl.ds(kj, block_k), :]
-        v_blk = v_ref[0, pl.ds(kj, block_k), :]
-        mask_blk = mask_ref[0, 0, pl.ds(kj, block_k)]
+    # p_ref is the +1-junk-row padded table: window rows [s0, s0 + bq + T)
+    # cover original rows [s0 - 1, s0 + bq + T - 1); column 0 of the G
+    # matrix is never read (the shear reads offsets bq - a + j >= 1).
+    # multiple_of: every term is a block multiple, but Mosaic's alignment
+    # prover gives up on the program_id product under bf16 tiling.
+    s0 = pl.multiple_of(t - qi - bq, block_k)
+    p_win = p_ref[0, pl.ds(s0, bq + t), :]
+    s = _scores_row(qu, qv, k_full, p_win, mask_row[None, :], scale)
 
-        # p_ref is the +1-junk-row padded table: rows [s, s+bq+bk) cover the
-        # original [s-1, s+bq+bk-1); column 0 of g is never read.
-        # multiple_of: every term is a block multiple, but the value flows
-        # through the fori_loop carry and Mosaic's alignment prover gives up
-        # on it under bf16 tiling ("index in dimension 1 is a multiple of 8")
-        s_start = pl.multiple_of(t - qi - bq + kj, block_k)
-        p_slice = p_ref[0, pl.ds(s_start, bq + block_k), :]
-        s = _scores_block(qu, qv, k_blk, p_slice, mask_blk, scale, block_k)
-
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        alpha = jnp.exp(m_prev - m_cur)
-        pexp = jnp.exp(s - m_cur[:, None])
-        l_cur = l_prev * alpha + jnp.sum(pexp, axis=1)
-        pexp_v = (pexp * _keep_mask((bq, block_k), dropout_rate)
-                  if dropout_rate > 0.0 else pexp)
-        acc = acc * alpha[:, None] + jnp.dot(pexp_v, v_blk,
-                                             preferred_element_type=jnp.float32)
-        return acc, m_cur, l_cur
-
-    acc0 = jnp.zeros((bq, dk), jnp.float32)
-    m0 = jnp.full((bq,), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq,), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
+    m = jnp.max(s, axis=1)
+    pexp = jnp.exp(s - m[:, None])
+    l = jnp.sum(pexp, axis=1)
+    pexp_v = (pexp * _keep_mask((bq, t), dropout_rate)
+              if dropout_rate > 0.0 else pexp)
+    acc = jnp.dot(pexp_v, v_full, preferred_element_type=jnp.float32)
     o_ref[0, :, :] = (acc / jnp.maximum(l, 1e-20)[:, None]).astype(o_ref.dtype)
     # rows with no valid key keep m = NEG_INF, so lse stays ~NEG_INF with
     # no boolean select (Mosaic: no 1-D i1 minor-dim inserts)
@@ -176,23 +182,29 @@ def _bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref,
                 dqu_ref, dqv_ref, dk_ref, dv_ref, dp_ref,
                 *, block_q: int, block_k: int, scale: float,
                 dropout_rate: float):
-    """One batch*head program: the FULL flash backward, O(T) memory.
+    """One batch*head program: the FULL flash backward, O(T) memory in HBM.
 
-    Recomputes each (q-block, k-block) score tile from the forward's saved
+    Recomputes each q-block's (bq, T) score row from the forward's saved
     log-sum-exp (P = exp(S - lse)), then
         dS = P o (dO V^T - D),  D = rowsum(dO o O)
-        dQu = dS K,  dK = dS^T Qu,  dV = P^T dO          (all * scale where due)
-        dQv = scatter(dS) P_slice,  dP_tbl = scatter(dS)^T Qv
-    where scatter() is the inverse of the band shear (_band_scatter_rolls).
+        dQu = dS K,  dK += dS^T Qu,  dV += P^T dO        (all * scale where due)
+        dQv = scatter(dS) P_win,  dP[window] += scatter(dS)^T Qv
+    where scatter() is the inverse band shear, run ONCE per q-block over
+    the whole (bq, T) row (bounded log2(bq)+1 rolls) — like the forward,
+    this replaced a per-(q, k)-pair k-loop whose per-pair shears dominated.
     dK/dV/dP accumulate across q-blocks in VMEM; nothing quadratic is ever
-    materialized."""
+    materialized in HBM."""
     t = qu_ref.shape[1]
     n_qb = t // block_q
-    n_kb = t // block_k
+    bq = block_q
 
     dk_ref[0, :, :] = jnp.zeros_like(dk_ref[0, :, :])
     dv_ref[0, :, :] = jnp.zeros_like(dv_ref[0, :, :])
     dp_ref[0, :, :] = jnp.zeros_like(dp_ref[0, :, :])
+
+    k_full = k_ref[0, :, :]
+    v_full = v_ref[0, :, :]
+    mask_row = mask_ref[0, 0, :]
 
     def q_body(qb, _):
         qi = pl.multiple_of(qb * block_q, block_q)
@@ -204,62 +216,60 @@ def _bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref,
         dvec = jnp.sum(do_blk * o_blk, axis=1)
         if dropout_rate > 0.0:
             # replay the forward's PRNG stream: same (bh, q-block) seed
-            # mixing, same per-k-block generation order
+            # mixing, same single full-row mask
             pltpu.prng_seed(seed_ref[0] * 1000003
                             + pl.program_id(0) * 7919 + qb)
 
-        def k_body(kb, carry):
-            dqu_acc, dqv_acc = carry
-            kj = pl.multiple_of(kb * block_k, block_k)
-            k_blk = k_ref[0, pl.ds(kj, block_k), :]
-            v_blk = v_ref[0, pl.ds(kj, block_k), :]
-            mask_blk = mask_ref[0, 0, pl.ds(kj, block_k)]
-            # multiple_of: see the forward kernel's note on the band offset
-            s_start = pl.multiple_of(t - qi - block_q + kj, block_k)
-            p_slice = p_ref[0, pl.ds(s_start, block_q + block_k), :]
+        # multiple_of: see the forward kernel's note on the band offset
+        s0 = pl.multiple_of(t - qi - bq, block_k)
+        p_win = p_ref[0, pl.ds(s0, bq + t), :]
+        s = _scores_row(qu, qv, k_full, p_win, mask_row[None, :], scale)
 
-            s = _scores_block(qu, qv, k_blk, p_slice, mask_blk, scale,
-                              block_k)
-            # broadcast lse to 2-D BEFORE any boolean op (Mosaic cannot
-            # minor-dim-insert 1-D i1 vectors); fully-masked rows get
-            # p_row = 0
-            lse2 = jax.lax.broadcast_in_dim(lse, s.shape, (0,))
-            valid2 = lse2 > NEG_INF / 2
-            p_row = jnp.where(valid2, jnp.exp(s - jnp.where(valid2, lse2,
-                                                            0.0)), 0.0)
-            dp_blk = jnp.dot(do_blk, v_blk.T.astype(jnp.float32),
-                             preferred_element_type=jnp.float32)
-            if dropout_rate > 0.0:
-                keep = _keep_mask(p_row.shape, dropout_rate)
-                p_drop = p_row * keep        # P-tilde, as applied in fwd
-                dp_blk = dp_blk * keep       # cotangent through the mask
-            else:
-                p_drop = p_row
-            ds_s = p_row * (dp_blk - dvec[:, None]) * scale
+        # broadcast lse to 2-D BEFORE any boolean op (Mosaic cannot
+        # minor-dim-insert 1-D i1 vectors); fully-masked rows get p_row = 0
+        lse2 = jax.lax.broadcast_in_dim(lse, s.shape, (0,))
+        valid2 = lse2 > NEG_INF / 2
+        p_row = jnp.where(valid2, jnp.exp(s - jnp.where(valid2, lse2, 0.0)),
+                          0.0)
+        dp_full = jnp.dot(do_blk, v_full.T.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(p_row.shape, dropout_rate)
+            p_drop = p_row * keep        # P-tilde, as applied in fwd
+            dp_full = dp_full * keep     # cotangent through the mask
+        else:
+            p_drop = p_row
+        ds_s = p_row * (dp_full - dvec[:, None]) * scale
 
-            dqu_acc = dqu_acc + jnp.dot(ds_s, k_blk.astype(jnp.float32),
-                                        preferred_element_type=jnp.float32)
-            dk_ref[0, pl.ds(kj, block_k), :] += jnp.dot(
-                ds_s.T, qu.astype(jnp.float32),
-                preferred_element_type=jnp.float32)
-            dv_ref[0, pl.ds(kj, block_k), :] += jnp.dot(
-                p_drop.T, do_blk, preferred_element_type=jnp.float32)
+        dqu_ref[0, pl.ds(qi, block_q), :] = jnp.dot(
+            ds_s, k_full.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        dk_ref[0, :, :] += jnp.dot(ds_s.T, qu.astype(jnp.float32),
+                                   preferred_element_type=jnp.float32)
+        dv_ref[0, :, :] += jnp.dot(p_drop.T, do_blk,
+                                   preferred_element_type=jnp.float32)
 
-            dg = _band_scatter_rolls(ds_s, block_q + block_k)
-            dqv_acc = dqv_acc + jnp.dot(dg, p_slice.astype(jnp.float32),
-                                        preferred_element_type=jnp.float32)
-            dp_ref[0, pl.ds(s_start, block_q + block_k), :] += jnp.dot(
-                dg.T, qv.astype(jnp.float32),
-                preferred_element_type=jnp.float32)
-            return dqu_acc, dqv_acc
-
-        z = jnp.zeros((block_q, qu_ref.shape[2]), jnp.float32)
-        dqu_acc, dqv_acc = jax.lax.fori_loop(0, n_kb, k_body, (z, z))
-        dqu_ref[0, pl.ds(qi, block_q), :] = dqu_acc
-        dqv_ref[0, pl.ds(qi, block_q), :] = dqv_acc
+        dg = _band_scatter_row_rolls(ds_s, bq + t)
+        dqv_ref[0, pl.ds(qi, block_q), :] = jnp.dot(
+            dg, p_win.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        dp_ref[0, pl.ds(s0, bq + t), :] += jnp.dot(
+            dg.T, qv.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, n_qb, q_body, 0)
+
+
+def xla_rel_shift(x):
+    """(..., T, 2T-1) -> (..., T, T) with out[..., i, j] = x[..., i, T-1-i+j]
+    — the XL band shear as pure XLA pad/reshape/slice (autodiff-exact)."""
+    *lead, t, _ = x.shape
+    lead_pad = [(0, 0)] * len(lead)
+    x = jnp.pad(x, lead_pad + [(0, 0), (1, 0)])
+    x = x.reshape(*lead, 2 * t, t)[..., 1:, :]
+    x = x.reshape(*lead, t, 2 * t - 1)
+    return x[..., :t]
 
 
 def dense_rel_attention(q_u, q_v, k, v, p, mask):
@@ -270,9 +280,7 @@ def dense_rel_attention(q_u, q_v, k, v, p, mask):
     ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
     bd = jnp.einsum("bhqd,hpd->bhqp", q_v, p)
     # generalized rel_shift: bd[..., i, j] wants table row (T-1) - i + j
-    bd = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))
-    bd = bd.reshape(b, h, 2 * t, t)[:, :, 1:, :]
-    bd = bd.reshape(b, h, t, 2 * t - 1)[:, :, :, :t]
+    bd = xla_rel_shift(bd)
     s = (ac + bd) * scale
     m = mask[:, None, None, :]
     s = jnp.where(m, s, NEG_INF)
@@ -357,6 +365,11 @@ def _rel_flash_impl(
             jax.ShapeDtypeStruct((b * h, t_pad, dk), q_u.dtype),
             jax.ShapeDtypeStruct((b * h, 1, t_pad), jnp.float32),
         ],
+        # the full-row program holds a few (bq, T+bq) f32 tiles at once; at
+        # T≈2400 that brushes Mosaic's default 16 MiB scoped budget with
+        # double buffering, so raise it toward the chip's physical VMEM
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(seed.astype(jnp.int32), qu, qv, kf, vf, pp, maskf)
     out = out.reshape(b, h, t_pad, dk)[:, :, :t, :]
@@ -477,6 +490,317 @@ _rel_flash.defvjp(_rel_flash_fwd, _rel_flash_bwd)
 
 
 # ---------------------------------------------------------------------------
+# bias-flash implementation (experimental, NOT default — measured slower).
+#
+# Motivation: the r4 stage-1 attribution (scripts/profile_conformer.py)
+# showed the shear kernels run at ~3 TF/s at the training shapes (b6 h8
+# T1200 dk64): per (q, k) block pair the in-kernel shear costs 8 roll+where
+# passes over a (bq, bq+bk) tile forward (plus the scatter in backward) —
+# VPU lane shuffles that dwarf the tiny MXU matmuls.
+#
+# This variant precomputes the position score OUTSIDE the kernel:
+#     bias = xla_rel_shift(q_v @ p^T) * scale          # (B, H, T, T), f32
+# and the kernels consume bias TILES as a plain additive input — no shear,
+# no q_v/p in Mosaic at all.
+#
+# MEASURED on v5e (scripts/profile_flash_bias.py, b6 h8 T1200 dk64 f32,
+# relay floor subtracted): the bias KERNELS are indeed fast (fwd 3.76 ms,
+# fwd+bwd 6.78 vs shear's 5.3 / 14.38) but XLA's lowering of
+# xla_rel_shift on the (B, H, T, 2T-1) tensor costs 11.59 ms alone —
+# ~3.5x over its ~3.3 ms bandwidth floor (the sublane-misaligned
+# reshape/slice lowers to shuffle loops, the very cost this impl was built
+# to remove) — plus einsum 1.84 + tile-transpose 2.64. End to end: fwd
+# 15.75 vs 5.3, fwd+bwd 28.5 vs 14.38. Even at the bandwidth floor the
+# construction+traffic (~8 ms fwd) would not beat the shear kernel, so
+# "shear" stays the default; this impl is kept (tested, env-selectable via
+# LIP2SPEECH_FLASH_IMPL=bias) as the measured record of the attempt and as
+# the starting point if a cheap shear lowering ever lands in XLA.
+# ---------------------------------------------------------------------------
+
+
+def _bias_kernel(seed_ref, qu_ref, k_ref, v_ref, bias_ref, mask_ref,
+                 o_ref, lse_ref, *, block_k: int, scale: float,
+                 dropout_rate: float):
+    """One (batch*head, q-block) program; bias: (1, n_kb, bq, bk) f32
+    pre-sheared AND pre-tiled — the k-loop indexes the LEADING dim (a plain
+    address offset). A (bq, T) layout sliced per k-block was measured 3x
+    slower end to end: Mosaic lowers lane-dim dynamic slices to lane
+    shuffles, re-creating the shear cost this impl exists to remove.
+    Online softmax identical to _kernel; only the score tile differs."""
+    _, bq, dk = qu_ref.shape
+    t = k_ref.shape[1]
+    n_kb = t // block_k
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] * 1000003
+                        + pl.program_id(0) * 7919 + pl.program_id(1))
+
+    qu = qu_ref[0, :, :]
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        kj = pl.multiple_of(kb * block_k, block_k)
+        k_blk = k_ref[0, pl.ds(kj, block_k), :]
+        v_blk = v_ref[0, pl.ds(kj, block_k), :]
+        mask_blk = mask_ref[0, 0, pl.ds(kj, block_k)]
+        b_blk = bias_ref[0, kb, :, :]
+        ac = jnp.dot(qu, k_blk.T, preferred_element_type=jnp.float32)
+        s = jnp.where(mask_blk[None, :] > 0, ac * scale + b_blk, NEG_INF)
+
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        alpha = jnp.exp(m_prev - m_cur)
+        pexp = jnp.exp(s - m_cur[:, None])
+        l_cur = l_prev * alpha + jnp.sum(pexp, axis=1)
+        pexp_v = (pexp * _keep_mask((bq, block_k), dropout_rate)
+                  if dropout_rate > 0.0 else pexp)
+        acc = acc * alpha[:, None] + jnp.dot(pexp_v, v_blk,
+                                             preferred_element_type=jnp.float32)
+        return acc, m_cur, l_cur
+
+    acc0 = jnp.zeros((bq, dk), jnp.float32)
+    m0 = jnp.full((bq,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq,), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
+    o_ref[0, :, :] = (acc / jnp.maximum(l, 1e-20)[:, None]).astype(o_ref.dtype)
+    lse_ref[0, 0, :] = m + jnp.log(jnp.maximum(l, 1e-20))
+
+
+def _bias_bwd_kernel(seed_ref, qu_ref, k_ref, v_ref, bias_ref, mask_ref,
+                     lse_ref, o_ref, do_ref,
+                     dqu_ref, dk_ref, dv_ref, dbias_ref,
+                     *, block_q: int, block_k: int, scale: float,
+                     dropout_rate: float):
+    """One batch*head program: flash backward with precomputed bias.
+
+    s = AC*scale + bias, so dS splits: dbias tile = dS (written once per
+    (q, k) pair — every pair is visited, no init needed), dQu/dK take the
+    extra *scale. No scatter shear: the bias path's q_v/p gradients run
+    through XLA autodiff of (einsum + xla_rel_shift) outside the kernel.
+    bias/dbias use the (1, n_kb, T, bk) tiled layout (see _bias_kernel)."""
+    t = qu_ref.shape[1]
+    n_qb = t // block_q
+    n_kb = t // block_k
+
+    dk_ref[0, :, :] = jnp.zeros_like(dk_ref[0, :, :])
+    dv_ref[0, :, :] = jnp.zeros_like(dv_ref[0, :, :])
+
+    def q_body(qb, _):
+        qi = pl.multiple_of(qb * block_q, block_q)
+        qu = qu_ref[0, pl.ds(qi, block_q), :]
+        do_blk = do_ref[0, pl.ds(qi, block_q), :].astype(jnp.float32)
+        o_blk = o_ref[0, pl.ds(qi, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qi, block_q)]
+        dvec = jnp.sum(do_blk * o_blk, axis=1)
+        if dropout_rate > 0.0:
+            pltpu.prng_seed(seed_ref[0] * 1000003
+                            + pl.program_id(0) * 7919 + qb)
+
+        def k_body(kb, dqu_acc):
+            kj = pl.multiple_of(kb * block_k, block_k)
+            k_blk = k_ref[0, pl.ds(kj, block_k), :]
+            v_blk = v_ref[0, pl.ds(kj, block_k), :]
+            mask_blk = mask_ref[0, 0, pl.ds(kj, block_k)]
+            b_blk = bias_ref[0, kb, pl.ds(qi, block_q), :]
+            ac = jnp.dot(qu, k_blk.T, preferred_element_type=jnp.float32)
+            s = jnp.where(mask_blk[None, :] > 0, ac * scale + b_blk, NEG_INF)
+
+            lse2 = jax.lax.broadcast_in_dim(lse, s.shape, (0,))
+            valid2 = lse2 > NEG_INF / 2
+            p_row = jnp.where(valid2, jnp.exp(s - jnp.where(valid2, lse2,
+                                                            0.0)), 0.0)
+            dp_blk = jnp.dot(do_blk, v_blk.T.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+            if dropout_rate > 0.0:
+                keep = _keep_mask(p_row.shape, dropout_rate)
+                p_drop = p_row * keep
+                dp_blk = dp_blk * keep
+            else:
+                p_drop = p_row
+            ds = p_row * (dp_blk - dvec[:, None])
+            dbias_ref[0, kb, pl.ds(qi, block_q), :] = ds
+            dsa = ds * scale
+            dqu_acc = dqu_acc + jnp.dot(dsa, k_blk.astype(jnp.float32),
+                                        preferred_element_type=jnp.float32)
+            dk_ref[0, pl.ds(kj, block_k), :] += jnp.dot(
+                dsa.T, qu.astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            dv_ref[0, pl.ds(kj, block_k), :] += jnp.dot(
+                p_drop.T, do_blk, preferred_element_type=jnp.float32)
+            return dqu_acc
+
+        z = jnp.zeros((block_q, qu_ref.shape[2]), jnp.float32)
+        dqu_ref[0, pl.ds(qi, block_q), :] = jax.lax.fori_loop(
+            0, n_kb, k_body, z)
+        return 0
+
+    jax.lax.fori_loop(0, n_qb, q_body, 0)
+
+
+def _dense_bias_attention_flat(qu, k, v, bias, maskf):
+    """Dense oracle on the FLAT padded layout (z=b*h): the bias-kernel math
+    without Pallas — the VJP recompute path for bwd='dense'."""
+    dk = qu.shape[-1]
+    scale = 1.0 / np.sqrt(dk)
+    s = jnp.einsum("ztd,zsd->zts", qu, k) * scale + bias
+    m = maskf > 0                                   # (z, 1, T) key mask
+    s = jnp.where(m, s, NEG_INF)
+    attn = jax.nn.softmax(s, axis=-1)
+    attn = jnp.where(m, attn, 0.0)
+    return jnp.einsum("zts,zsd->ztd", attn, v)
+
+
+@functools.partial(jax.jit, static_argnames=("blk", "interpret",
+                                             "return_lse", "dropout_rate"))
+def _flash_bias_impl(qu, k, v, bias, maskf, seed, blk: int = 128,
+                     interpret: bool = False, return_lse: bool = False,
+                     dropout_rate: float = 0.0):
+    """qu/k/v: (z, T, dk) flat padded; bias: (z, T, T) f32; maskf: (z, 1, T)."""
+    if dropout_rate > 0.0 and interpret:
+        raise NotImplementedError(
+            "in-kernel attention dropout needs the TPU PRNG (interpret-mode "
+            "prng_random_bits is stubbed); use the dense path off-TPU")
+    z, t_pad, dk = qu.shape
+    scale = 1.0 / np.sqrt(dk)
+    n_kb = t_pad // blk
+    # tile the key axis into the leading dim: in-kernel k-loop slicing of a
+    # (bq, T) tile on the LANE dim costs Mosaic lane shuffles (measured 3x)
+    bias_t = bias.reshape(z, t_pad, n_kb, blk).transpose(0, 2, 1, 3)
+    grid = (z, t_pad // blk)
+    out, lse = pl.pallas_call(
+        functools.partial(_bias_kernel, block_k=blk, scale=scale,
+                          dropout_rate=dropout_rate),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, blk, dk), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, dk), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, dk), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kb, blk, blk), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk, dk), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, blk), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((z, t_pad, dk), qu.dtype),
+            jax.ShapeDtypeStruct((z, 1, t_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed.astype(jnp.int32), qu, k, v, bias_t, maskf)
+    if return_lse:
+        return out, lse
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("blk", "interpret",
+                                             "dropout_rate"))
+def _flash_bias_bwd_impl(qu, k, v, bias, maskf, lse, out, g,
+                         blk: int = 128, interpret: bool = False,
+                         dropout_rate: float = 0.0, seed=None):
+    z, t_pad, dk = qu.shape
+    scale = 1.0 / np.sqrt(dk)
+    n_kb = t_pad // blk
+    bias_t = bias.reshape(z, t_pad, n_kb, blk).transpose(0, 2, 1, 3)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    full = lambda i: (i, 0, 0)          # noqa: E731
+    spec3 = pl.BlockSpec((1, t_pad, dk), full, memory_space=pltpu.VMEM)
+    spec_b = pl.BlockSpec((1, n_kb, t_pad, blk), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dqu, dkk, dvv, dbias = pl.pallas_call(
+        functools.partial(_bias_bwd_kernel, block_q=blk, block_k=blk,
+                          scale=scale, dropout_rate=dropout_rate),
+        grid=(z,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec3, spec3, spec3, spec_b,
+            pl.BlockSpec((1, 1, t_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad), full, memory_space=pltpu.VMEM),
+            spec3, spec3,
+        ],
+        out_specs=[spec3, spec3, spec3, spec_b],
+        out_shape=[
+            jax.ShapeDtypeStruct((z, t_pad, dk), jnp.float32),
+            jax.ShapeDtypeStruct((z, t_pad, dk), jnp.float32),
+            jax.ShapeDtypeStruct((z, t_pad, dk), jnp.float32),
+            jax.ShapeDtypeStruct((z, n_kb, t_pad, blk), jnp.float32),
+        ],
+        # per-program VMEM: the (T, T) bias + dbias tiles alone are ~13 MB
+        # f32 at T=1280 — over Mosaic's default 16 MiB scoped budget
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(seed.astype(jnp.int32), qu, k, v, bias_t, maskf, lse, out, g)
+    dbias = dbias.transpose(0, 2, 1, 3).reshape(z, t_pad, t_pad)
+    return dqu, dkk, dvv, dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _flash_bias(blk, interpret, bwd, dropout_rate,
+                qu, k, v, bias, maskf, seed):
+    return _flash_bias_impl(qu, k, v, bias, maskf, seed, blk=blk,
+                            interpret=interpret, dropout_rate=dropout_rate)
+
+
+def _flash_bias_fwd(blk, interpret, bwd, dropout_rate,
+                    qu, k, v, bias, maskf, seed):
+    out, lse = _flash_bias_impl(qu, k, v, bias, maskf, seed, blk=blk,
+                                interpret=interpret, return_lse=True,
+                                dropout_rate=dropout_rate)
+    return out, (qu, k, v, bias, maskf, lse, out, seed)
+
+
+def _flash_bias_bwd(blk, interpret, bwd, dropout_rate, residuals, g):
+    qu, k, v, bias, maskf, lse, out, seed = residuals
+    if bwd == "kernel" or dropout_rate > 0.0:
+        dqu, dk_, dv_, dbias = _flash_bias_bwd_impl(
+            qu, k, v, bias, maskf, lse, out, g, blk=blk,
+            interpret=interpret, dropout_rate=dropout_rate, seed=seed)
+        dqu = dqu.astype(qu.dtype)
+        dk_ = dk_.astype(k.dtype)
+        dv_ = dv_.astype(v.dtype)
+        dbias = dbias.astype(bias.dtype)
+    else:
+        _, vjp = jax.vjp(
+            lambda a, b, c, d: _dense_bias_attention_flat(a, b, c, d, maskf),
+            qu, k, v, bias)
+        dqu, dk_, dv_, dbias = vjp(g)
+    dmaskf = np.zeros(maskf.shape, dtype=jax.dtypes.float0)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dqu, dk_, dv_, dbias, dmaskf, dseed
+
+
+_flash_bias.defvjp(_flash_bias_fwd, _flash_bias_bwd)
+
+
+def _rel_flash_bias(block, interpret, bwd, dropout_rate,
+                    q_u, q_v, k, v, p, mask, seed):
+    """Bias-impl entry: pad, build the sheared position bias in XLA, run
+    the bias kernels. q_v/p gradients flow through plain autodiff of the
+    einsum + xla_rel_shift composition (the custom VJP covers only the
+    kernel call)."""
+    b, h, t, dk = q_u.shape
+    scale = 1.0 / np.sqrt(dk)
+    qu, qv, kf, vf, pp, maskf, blk, t_pad = _pad_inputs(
+        q_u, q_v, k, v, p, mask, block)
+    # pp is the +1-junk-row padded table; rows [1:] are the re-centered
+    # (2*t_pad - 1) original table
+    g = jnp.einsum("bhtd,hsd->bhts", qv.reshape(b, h, t_pad, dk),
+                   pp[:, 1:, :], preferred_element_type=jnp.float32)
+    bias = (xla_rel_shift(g) * scale).reshape(b * h, t_pad, t_pad)
+    out = _flash_bias(blk, interpret, bwd, dropout_rate,
+                      qu, kf, vf, bias, maskf, seed)
+    return out.reshape(b, h, t_pad, dk)[:, :, :t, :]
+
+
+# ---------------------------------------------------------------------------
 # multi-device meshes: Mosaic kernels cannot be auto-partitioned by GSPMD
 # (jax tpu_custom_call.py raises "Mosaic kernels cannot be automatically
 # partitioned. Please wrap the call in a shard_map."), so inside a
@@ -490,6 +814,18 @@ _rel_flash.defvjp(_rel_flash_fwd, _rel_flash_bwd)
 
 _FLASH_MESH = None
 
+# kernel implementation: "shear" (default — O(T)-memory kernels with the
+# in-kernel roll shear) or "bias" (position bias precomputed in XLA; built
+# to kill the in-kernel shuffles but measured SLOWER end to end because
+# XLA's rel-shift lowering is worse — see the bias-flash section)
+_IMPL_DEFAULT = os.environ.get("LIP2SPEECH_FLASH_IMPL", "shear")
+
+
+def _impl_fn(impl: str):
+    if impl not in ("bias", "shear"):
+        raise ValueError(f"unknown flash impl {impl!r} (bias|shear)")
+    return _rel_flash_bias if impl == "bias" else _rel_flash
+
 
 def set_flash_mesh(mesh) -> None:
     """Declare the mesh whose jitted programs will contain this kernel
@@ -498,7 +834,7 @@ def set_flash_mesh(mesh) -> None:
     _FLASH_MESH = mesh
 
 
-def _shard_mapped_flash(mesh, block, interpret, bwd, dropout_rate,
+def _shard_mapped_flash(mesh, block, interpret, bwd, dropout_rate, impl,
                         q_u, q_v, k, v, p, mask, seed):
     from jax.sharding import PartitionSpec as P
 
@@ -523,8 +859,8 @@ def _shard_mapped_flash(mesh, block, interpret, bwd, dropout_rate,
             seed = seed + jax.lax.axis_index(DATA_AXIS) * nmodel
         if hax is not None:
             seed = seed + jax.lax.axis_index(MODEL_AXIS)
-        return _rel_flash(block, interpret, bwd, dropout_rate,
-                          q_u, q_v, k, v, p, mask, seed)
+        return _impl_fn(impl)(block, interpret, bwd, dropout_rate,
+                              q_u, q_v, k, v, p, mask, seed)
 
     return jax.shard_map(
         inner, mesh=mesh,
@@ -535,7 +871,7 @@ def _shard_mapped_flash(mesh, block, interpret, bwd, dropout_rate,
 def rel_flash_attention(q_u, q_v, k, v, p, mask,
                         block: int = 128, interpret: bool = False,
                         bwd: str = "kernel", dropout_rate: float = 0.0,
-                        dropout_seed=None):
+                        dropout_seed=None, impl: str | None = None):
     """Flash rel-attention, differentiable. Forward: Pallas online-softmax
     kernel (O(T) memory, saves only out + log-sum-exp). Backward:
     bwd="kernel" (default) runs the fused flash backward kernel
@@ -545,7 +881,12 @@ def rel_flash_attention(q_u, q_v, k, v, p, mask,
     dropout_rate > 0 applies attention-probability dropout INSIDE the
     kernels via the TPU PRNG (the reference recipe's attention_dropout);
     masks are regenerated identically in the backward from dropout_seed
-    (an int32 scalar/1-vector). TPU-only (interpret-mode PRNG is stubbed)."""
+    (an int32 scalar/1-vector). TPU-only (interpret-mode PRNG is stubbed).
+
+    impl selects the kernel family (default env LIP2SPEECH_FLASH_IMPL or
+    "bias"): "bias" precomputes the XL position bias in XLA and keeps the
+    Mosaic kernels shear-free (fastest at training shapes, O(T^2) bias in
+    HBM); "shear" is the original fully-O(T) in-kernel band-shear pair."""
     if q_u.shape[2] < block and not interpret:
         # Tiny sequences (< one k-block, e.g. a pipeline init forward at
         # T=16) shrink the kernel's block to T, and Mosaic then rejects the
@@ -562,12 +903,13 @@ def rel_flash_attention(q_u, q_v, k, v, p, mask,
         seed = jnp.zeros((1,), jnp.int32)
     else:
         seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+    impl = impl or _IMPL_DEFAULT
     if (_FLASH_MESH is not None and _FLASH_MESH.size > 1
             and not jax.sharding.get_abstract_mesh().manual_axes):
         # already-manual traces (a caller's own shard_map) skip the wrap —
         # nesting shard_map inside shard_map is illegal
         return _shard_mapped_flash(_FLASH_MESH, block, interpret, bwd,
-                                   dropout_rate, q_u, q_v, k, v, p, mask,
-                                   seed)
-    return _rel_flash(block, interpret, bwd, dropout_rate,
-                      q_u, q_v, k, v, p, mask, seed)
+                                   dropout_rate, impl,
+                                   q_u, q_v, k, v, p, mask, seed)
+    return _impl_fn(impl)(block, interpret, bwd, dropout_rate,
+                          q_u, q_v, k, v, p, mask, seed)

@@ -40,8 +40,9 @@ def test_band_extract_matches_gather():
         np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.parametrize("impl", ["bias", "shear"])
 @pytest.mark.parametrize("t,lens,block", [(64, [64, 50], 32), (40, [40, 33], 16)])
-def test_rel_flash_matches_dense(t, lens, block):
+def test_rel_flash_matches_dense(t, lens, block, impl):
     rng = np.random.default_rng(1)
     b, h, dk = 2, 2, 32
     mk = lambda: jnp.asarray(rng.standard_normal((b, h, t, dk), dtype=np.float32))  # noqa: E731
@@ -56,7 +57,8 @@ def test_rel_flash_matches_dense(t, lens, block):
 
     ref = np.asarray(_reference(q_u, q_v, k, v, p, mask))
     out = np.asarray(rel_flash_attention(q_u, q_v, k, v, p, mask,
-                                         block=block, interpret=True))
+                                         block=block, interpret=True,
+                                         impl=impl))
     m = np.asarray(mask)
     for i in range(b):
         np.testing.assert_allclose(out[i][:, m[i]], ref[i][:, m[i]], atol=3e-5)
@@ -122,8 +124,9 @@ def test_conformer_train_step_with_flash_backward():
     assert float(jnp.abs(attn_g).max()) > 0.0
 
 
+@pytest.mark.parametrize("impl", ["bias", "shear"])
 @pytest.mark.parametrize("t,block", [(40, 16), (33, 16)])
-def test_kernel_backward_matches_dense_backward(t, block):
+def test_kernel_backward_matches_dense_backward(t, block, impl):
     """The fused flash backward kernel == dense-recompute VJP, including
     the T % block != 0 padding path."""
     rng = np.random.default_rng(11)
@@ -140,7 +143,7 @@ def test_kernel_backward_matches_dense_backward(t, block):
     def loss(bwd):
         def f(*args):
             out = rel_flash_attention(*args, mask, block=block,
-                                      interpret=True, bwd=bwd)
+                                      interpret=True, bwd=bwd, impl=impl)
             return jnp.sum(jnp.cos(out) *
                            jnp.where(mask[:, None, :, None], 1.0, 0.0))
         return f
