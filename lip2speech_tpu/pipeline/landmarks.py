@@ -355,6 +355,31 @@ class HeuristicLandmarks:
                     if col_e.sum() > 0 else 0.5 * (rx1 - rx0))
         return np.array([mx, my], np.float64)
 
+    def _detect_once(self, small: np.ndarray, i: int, prior,
+                     motion, mnoise):
+        """One detection attempt on the DOWNSCALED frame sequence; `prior`
+        is the current full-res track box or None. Returns a full-res box
+        or None. Subclasses swap the detector; the tracking loop stays."""
+        ds = self.detect_downscale
+        if prior is not None and ds > 1:
+            prior = tuple(v / ds for v in prior)
+        det = detect_face_box(small[i], prior_box=prior,
+                              motion=motion, motion_noise=mnoise,
+                              px_scale=float(ds))
+        if det is None and prior is None:
+            # tiny-face fallback: faces <15% of the frame fail the
+            # envelope's size floors outright. Retry the FULL-frame
+            # detect with a relaxed floor — tracked re-detects keep
+            # the strict floor, so clutter rejection is unchanged
+            # whenever a face was ever found at the tuned scale.
+            det = detect_face_box(small[i], prior_box=None,
+                                  motion=motion, motion_noise=mnoise,
+                                  px_scale=float(ds),
+                                  min_rel_size=0.06)
+        if det is not None and ds > 1:
+            det = tuple(v * ds for v in det)
+        return det
+
     @staticmethod
     def _motion_map(frames: np.ndarray, max_pairs: int = 20):
         """Temporal-difference energy of the clip (talking mouths move;
@@ -388,23 +413,7 @@ class HeuristicLandmarks:
                 # or after too many rejected jumps (scene cut)
                 prior = None if (box is None or rejects >= self.max_rejects) \
                     else box
-                if prior is not None and ds > 1:
-                    prior = tuple(v / ds for v in prior)
-                det = detect_face_box(small[i], prior_box=prior,
-                                      motion=motion, motion_noise=mnoise,
-                                      px_scale=float(ds))
-                if det is None and prior is None:
-                    # tiny-face fallback: faces <15% of the frame fail the
-                    # envelope's size floors outright. Retry the FULL-frame
-                    # detect with a relaxed floor — tracked re-detects keep
-                    # the strict floor, so clutter rejection is unchanged
-                    # whenever a face was ever found at the tuned scale.
-                    det = detect_face_box(small[i], prior_box=None,
-                                          motion=motion, motion_noise=mnoise,
-                                          px_scale=float(ds),
-                                          min_rel_size=0.06)
-                if det is not None and ds > 1:
-                    det = tuple(v * ds for v in det)
+                det = self._detect_once(small, i, prior, motion, mnoise)
                 if det is not None:
                     plausible = True
                     if box is not None and rejects < self.max_rejects:
@@ -426,6 +435,121 @@ class HeuristicLandmarks:
                         rejects += 1
             out.append(None if box is None else self._place_shape(box, frame))
         return out
+
+
+class CascadeLandmarks(HeuristicLandmarks):
+    """Haar-cascade-backed landmarks: a TRAINED face detector for the raw-
+    video path (reference `face_landmarks_server.py:55-347` uses a dlib CNN;
+    this image ships OpenCV's trained cascade XMLs but no objdetect module,
+    so detection runs on the in-tree evaluator `pipeline/haar.py`).
+
+    Reuses HeuristicLandmarks' tracking loop (nth-frame detection, EMA
+    smoothing, jump/scale rejection) and mean-shape placement; swaps the
+    saliency detector for frontal+profile cascades and makes the mouth
+    refinement pose-aware:
+      * profile hits reveal the facing direction, which shifts the mouth
+        search window toward the facing side (a profile mouth sits at
+        ~0.05-0.55 of the box width, not centered);
+      * the mouth row is scored by gradient x darkness — the lip seam is
+        the darkest high-gradient horizontal structure; pure gradient
+        locks onto the nostril shadow on real faces.
+    Falls back to the heuristic detector when no cascade fires, so coverage
+    never drops below HeuristicLandmarks' synthetic-bench floor.
+    """
+
+    _POSE_XR = {"frontal": (0.25, 0.75), "left": (0.05, 0.55),
+                "right": (0.45, 0.95)}
+
+    def __init__(self, nth_frame: int = 10, min_neighbors: int = 2,
+                 scale_factor: float = 1.1, **kw):
+        from lip2speech_tpu.pipeline.haar import CascadeFaceDetector
+
+        super().__init__(nth_frame=nth_frame, **kw)
+        self._det = CascadeFaceDetector(min_neighbors=min_neighbors,
+                                        scale_factor=scale_factor)
+        self._pose = "frontal"
+
+    @staticmethod
+    def available() -> bool:
+        from lip2speech_tpu.pipeline.haar import CascadeFaceDetector
+        return CascadeFaceDetector.available()
+
+    def _detect_once(self, small: np.ndarray, i: int, prior,
+                     motion, mnoise):
+        ds = self.detect_downscale
+        g = small[i]
+        h, w = g.shape[:2]
+        box = pose = None
+        if prior is not None:
+            # tracked re-detect inside the 1.3x prior window (the
+            # reference's own policy), at ~the prior's scale — this is the
+            # common case and is ~10x cheaper than a full-frame sweep
+            px0, py0, px1, py1 = (v / ds for v in prior)
+            mx = 0.5 * (PRE_CROP_SCALE - 1.0)
+            pw, ph = px1 - px0, py1 - py0
+            x0 = max(0, int(px0 - mx * pw))
+            y0 = max(0, int(py0 - mx * ph))
+            x1 = min(w, int(px1 + mx * pw))
+            y1 = min(h, int(py1 + mx * ph))
+            if x1 - x0 >= 24 and y1 - y0 >= 24:
+                res = self._det(g[y0:y1, x0:x1], return_pose=True,
+                                min_size=max(24, int(0.6 * min(pw, ph))))
+                if res[0] is not None:
+                    bx0, by0, bx1, by1 = res[0]
+                    box = (bx0 + x0, by0 + y0, bx1 + x0, by1 + y0)
+                    pose = res[1]
+        if box is None and (prior is None or i == 0):
+            box, pose = self._det(
+                g, min_size=max(24, int(0.15 * min(h, w))),
+                return_pose=True)
+            if box is None:
+                box, pose = self._det(g, min_size=24, return_pose=True)
+        if box is None and prior is None and i == 0 and len(small) > 1:
+            # seed scan: the cascades are pose-sensitive and the first frame
+            # may catch a bad pose (blink/extreme turn). Scan forward for
+            # the first hit and seed the track with it — faces move little
+            # across a second, and the EMA track corrects from there on.
+            for j in range(2, min(len(small), 26), 4):
+                box, pose = self._det(
+                    small[j], min_size=max(24, int(0.15 * min(h, w))),
+                    return_pose=True)
+                if box is not None:
+                    break
+        if box is not None:
+            self._pose = pose
+            return tuple(v * ds for v in box)
+        # cascade found nothing: heuristic saliency fallback keeps the
+        # synthetic-envelope coverage (cartoon/synthetic faces are out of
+        # the cascades' training distribution)
+        return super()._detect_once(small, i, prior, motion, mnoise)
+
+    def _mouth_center(self, frame: np.ndarray, box) -> np.ndarray | None:
+        g = frame.astype(np.float64)
+        if g.ndim == 3:
+            g = g.mean(axis=-1)
+        x0, y0, x1, y1 = box
+        bh, bw = y1 - y0, x1 - x0
+        xr = self._POSE_XR[self._pose]
+        ry0, ry1 = y0 + int(0.55 * bh), y0 + int(0.95 * bh)
+        rx0, rx1 = x0 + int(xr[0] * bw), x0 + int(xr[1] * bw)
+        ry0, rx0 = max(0, ry0), max(0, rx0)
+        region = g[ry0:ry1, rx0:rx1]
+        if region.shape[0] < 4 or region.shape[1] < 3:
+            return None
+        grad = np.abs(np.diff(region, axis=0))
+        rowmean = region[:-1].mean(axis=1)
+        med = float(np.median(rowmean))
+        dark = np.clip((med - rowmean) / max(med, 1e-6), 0.0, None)
+        score = grad.sum(axis=1) * (1.0 + 3.0 * dark)
+        if score.sum() <= 1e-9:
+            return None
+        iy = int(np.argmax(score))
+        my = ry0 + iy + 0.5
+        band = grad[max(0, iy - 2): iy + 3]
+        col_e = band.sum(axis=0)
+        mx = rx0 + (float((col_e * np.arange(len(col_e))).sum() / col_e.sum())
+                    if col_e.sum() > 0 else 0.5 * (rx1 - rx0))
+        return np.array([mx, my], np.float64)
 
 
 def extract_mouth_video(frames: np.ndarray, provider: LandmarkProvider,
