@@ -58,9 +58,9 @@ def init_sample(video_path: Path, audio_path: Path, out_root: Path, rel_id: str,
         if landmarks_path is not None:
             lms = list(np.load(landmarks_path))
         else:   # dlib-free in-process detection (raw video, no sidecar)
-            from lip2speech_tpu.pipeline.landmarks import HeuristicLandmarks
+            from lip2speech_tpu.pipeline.landmarks import default_landmarker
 
-            lms = HeuristicLandmarks()(frames)
+            lms = default_landmarker()(frames)
         frames = crop_mouth_sequence(
             frames, lms, mean_face if mean_face is not None else default_mean_face())
 
@@ -239,7 +239,9 @@ def main():
                              "is mouth-cropped in-process)")
     p_init.add_argument("--auto-landmarks", action="store_true",
                         help="raw video without landmark files: detect with "
-                             "the in-tree dlib-free HeuristicLandmarks")
+                             "the in-tree dlib-free detector (trained Haar "
+                             "cascade when available, saliency heuristic "
+                             "otherwise)")
     p_init.add_argument("--spk-embs", nargs="*", default=None,
                         help="per-clip precomputed speaker-embedding .npy files")
     p_init.add_argument("--speaker-encoder", default=None,

@@ -251,6 +251,8 @@ def group_boxes(boxes, min_neighbors: int = 3):
     OpenCV's groupRectangles equivalence relation: two boxes merge when
     they differ by < eps * smaller-size in every coordinate (eps=0.2 as
     its default); cluster box = coordinate mean, weight = cluster size.
+    Rejection matches OpenCV's `n <= groupThreshold` (i.e. a cluster needs
+    min_neighbors + 1 members to survive; min_neighbors=0 keeps all).
     Returns [(x0, y0, x1, y1, n_neighbors)] sorted by n desc.
     """
     if not boxes:
@@ -278,7 +280,7 @@ def group_boxes(boxes, min_neighbors: int = 3):
         clusters.setdefault(find(i), []).append(i)
     out = []
     for members in clusters.values():
-        if len(members) < max(1, min_neighbors):
+        if min_neighbors > 0 and len(members) <= min_neighbors:
             continue
         m = boxes[members].mean(axis=0)
         out.append((int(round(m[0])), int(round(m[1])),
@@ -295,8 +297,11 @@ class CascadeFaceDetector:
     so frontal wins ties.
     """
 
-    def __init__(self, min_neighbors: int = 3, scale_factor: float = 1.15,
+    def __init__(self, min_neighbors: int = 2, scale_factor: float = 1.15,
                  stride: int = 2):
+        # min_neighbors follows OpenCV groupThreshold semantics (a cluster
+        # needs min_neighbors+1 raw hits); default 2 = OpenCV's common
+        # detectMultiScale setting and the pre-fix effective behavior here
         self.min_neighbors = min_neighbors
         self.scale_factor = scale_factor
         self.stride = stride

@@ -452,22 +452,45 @@ class CascadeLandmarks(HeuristicLandmarks):
         ~0.05-0.55 of the box width, not centered);
       * the mouth row is scored by gradient x darkness — the lip seam is
         the darkest high-gradient horizontal structure; pure gradient
-        locks onto the nostril shadow on real faces.
-    Falls back to the heuristic detector when no cascade fires, so coverage
-    never drops below HeuristicLandmarks' synthetic-bench floor.
+        locks onto the nostril shadow on real faces;
+      * cascade hits are geometry-calibrated: the alt2 window is ~10%
+        wider per side than the true face extent and stops above the chin
+        (constant window-vs-face offsets, measured on the synthetic bench
+        and stable across scenarios), so the box is inset horizontally and
+        extended at the bottom before mean-shape placement.
+    Falls back to the heuristic detector when no cascade fires, so DETECTION
+    COVERAGE never drops below HeuristicLandmarks' synthetic-bench floor.
+    (Box/crop accuracy is quantified separately for both providers in
+    tests/landmark_bench.py + QUALITY.md — the cascade wins on real faces,
+    the heuristic on the synthetic envelope's cartoon faces, which are out
+    of the cascades' training distribution.)
     """
 
     _POSE_XR = {"frontal": (0.25, 0.75), "left": (0.05, 0.55),
                 "right": (0.45, 0.95)}
+    # cascade-window -> face-box calibration (fractions of window size):
+    # x inset per side, top offset, bottom extension
+    _CAL_X, _CAL_TOP, _CAL_BOT = 0.09, 0.0, 0.05
 
-    def __init__(self, nth_frame: int = 10, min_neighbors: int = 2,
+    def __init__(self, nth_frame: int = 10, min_neighbors: int = 1,
                  scale_factor: float = 1.1, **kw):
         from lip2speech_tpu.pipeline.haar import CascadeFaceDetector
 
         super().__init__(nth_frame=nth_frame, **kw)
+        # min_neighbors=1 under OpenCV groupThreshold semantics = 2 raw
+        # hits per cluster (the pre-r5 effective behavior)
         self._det = CascadeFaceDetector(min_neighbors=min_neighbors,
                                         scale_factor=scale_factor)
         self._pose = "frontal"
+
+    def __call__(self, frames: np.ndarray) -> list[np.ndarray | None]:
+        # per-clip tracking state; reset so a reused provider instance
+        # cannot leak the previous clip's facing direction / track
+        self._pose = "frontal"
+        self._misses = 0
+        self._cascade_locked = False
+        self._mouth_track = None
+        return super().__call__(frames)
 
     @staticmethod
     def available() -> bool:
@@ -498,7 +521,11 @@ class CascadeLandmarks(HeuristicLandmarks):
                     bx0, by0, bx1, by1 = res[0]
                     box = (bx0 + x0, by0 + y0, bx1 + x0, by1 + y0)
                     pose = res[1]
-        if box is None and (prior is None or i == 0):
+        if box is None and (prior is None or i == 0
+                            or self._misses >= 2):
+            # full-frame cascade sweep: at clip start, when the track is
+            # lost, or after repeated tracked-window misses (the window may
+            # have drifted off the face)
             box, pose = self._det(
                 g, min_size=max(24, int(0.15 * min(h, w))),
                 return_pose=True)
@@ -517,13 +544,48 @@ class CascadeLandmarks(HeuristicLandmarks):
                     break
         if box is not None:
             self._pose = pose
-            return tuple(v * ds for v in box)
-        # cascade found nothing: heuristic saliency fallback keeps the
-        # synthetic-envelope coverage (cartoon/synthetic faces are out of
-        # the cascades' training distribution)
+            self._misses = 0
+            self._cascade_locked = True
+            x0, y0, x1, y1 = (v * ds for v in box)
+            bw, bh = x1 - x0, y1 - y0
+            return (x0 + self._CAL_X * bw, y0 + self._CAL_TOP * bh,
+                    x1 - self._CAL_X * bw, y1 + self._CAL_BOT * bh)
+        self._misses += 1
+        if self._cascade_locked:
+            # the cascade HAS acquired this clip's face: coast on the
+            # existing track instead of falling back — the heuristic's
+            # saliency box has different geometry (it includes hair/neck),
+            # and EMA-merging it into a cascade track drags the box tall
+            # and pushes the mouth window onto the jaw (measured on
+            # example.mp4: y1 drifted 150 -> 218 over 132 frames pre-fix)
+            return None
+        # cascade never fired for this clip: heuristic saliency fallback
+        # keeps the synthetic-envelope coverage (cartoon/synthetic faces
+        # are out of the cascades' training distribution). The heuristic
+        # has no pose notion — reset so _mouth_center doesn't search a
+        # stale profile window on what is now an unknown-pose box.
+        self._pose = "frontal"
         return super()._detect_once(small, i, prior, motion, mnoise)
 
     def _mouth_center(self, frame: np.ndarray, box) -> np.ndarray | None:
+        """Per-frame refinement + a temporal EMA track: a talking mouth
+        moves a few px/frame, so a refined center jumping >30% of the box
+        width is a mis-lock (jaw shadow, nostril) — coast on the track
+        instead of following it (measured on example.mp4: per-frame
+        refinement alone slips to the jawline when the box bottom sits
+        near the neck)."""
+        raw = self._mouth_center_raw(frame, box)
+        track = getattr(self, "_mouth_track", None)
+        if raw is None:
+            return track
+        bw = box[2] - box[0]
+        if track is not None and np.hypot(*(raw - track)) > 0.3 * bw:
+            return track
+        self._mouth_track = (raw if track is None
+                             else 0.5 * raw + 0.5 * track)
+        return self._mouth_track
+
+    def _mouth_center_raw(self, frame: np.ndarray, box) -> np.ndarray | None:
         g = frame.astype(np.float64)
         if g.ndim == 3:
             g = g.mean(axis=-1)
@@ -550,6 +612,20 @@ class CascadeLandmarks(HeuristicLandmarks):
         mx = rx0 + (float((col_e * np.arange(len(col_e))).sum() / col_e.sum())
                     if col_e.sum() > 0 else 0.5 * (rx1 - rx0))
         return np.array([mx, my], np.float64)
+
+
+def default_landmarker() -> "LandmarkProvider":
+    """The raw-video landmark provider for serving/dataset paths: the
+    TRAINED cascade detector when its XMLs are shipped (real faces — the
+    reference's own raw path runs a trained dlib CNN,
+    face_landmarks_server.py:55-347), falling back to the heuristic
+    detector. Measured on /root/reference/datasets/example.mp4 (real face,
+    132 frames): cascade detects 132/132 with the mouth ROI on the lips;
+    the heuristic's saliency box includes the neck and crops the collar
+    (QUALITY.md real-video table)."""
+    if CascadeLandmarks.available():
+        return CascadeLandmarks()
+    return HeuristicLandmarks()
 
 
 def extract_mouth_video(frames: np.ndarray, provider: LandmarkProvider,

@@ -603,12 +603,13 @@ class Handler(BaseHTTPRequestHandler):
         elif body.get("detect_landmarks"):
             # raw video, NO landmarks: in-process dlib-free detector
             # (replaces the reference's dlib sidecar service,
-            # face_landmarks_server.py:55-347)
+            # face_landmarks_server.py:55-347) — trained cascade when
+            # available, saliency heuristic otherwise
             from lip2speech_tpu.pipeline.landmarks import (
-                HeuristicLandmarks, extract_mouth_video)
+                default_landmarker, extract_mouth_video)
 
             try:
-                frames = extract_mouth_video(frames, HeuristicLandmarks())
+                frames = extract_mouth_video(frames, default_landmarker())
             except ValueError as e:   # no face found in any frame
                 self._json(400, {"error": str(e)})
                 return

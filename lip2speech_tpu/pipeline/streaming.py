@@ -42,12 +42,12 @@ async def _handle(ws, state: ServerState):
                 # (the reference detects per-frame via its dlib sidecar,
                 # server.py:359-449)
                 from lip2speech_tpu.pipeline.landmarks import (
-                    HeuristicLandmarks, extract_mouth_video)
+                    default_landmarker, extract_mouth_video)
 
                 try:
                     ordered = await loop.run_in_executor(
                         None, lambda o=ordered: extract_mouth_video(
-                            o, HeuristicLandmarks()))
+                            o, default_landmarker()))
                 except ValueError as e:
                     await ws.send(json.dumps({"type": "error", "error": str(e)}))
                     frames.clear()

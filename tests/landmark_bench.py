@@ -181,3 +181,71 @@ def score_scenario(name: str, provider=None, t=20, seed=0) -> dict:
 def run_all(provider=None, t=20, seed=0) -> list[dict]:
     return [score_scenario(n, provider=provider, t=t, seed=seed)
             for n in SCENARIOS]
+
+
+# --- REAL-VIDEO tier (VERDICT r4 next #3) ----------------------------------
+# /root/reference/datasets/example.mp4 is the only real face video in the
+# image (132 frames, 224x224, 25 fps; a BASELINE.json named config). There
+# is no landmark ground truth, so scoring is detection coverage + temporal
+# stability + crop plausibility — the properties the mouth-ROI pipeline
+# actually needs from a detector on real faces.
+
+EXAMPLE_MP4 = "/root/reference/datasets/example.mp4"
+
+
+def score_real_video(provider, path=EXAMPLE_MP4, max_frames=None) -> dict:
+    """Provider quality on a real video without GT:
+      detected        frames with landmarks / total
+      center_jump_rel per-frame face-center jump / face width (p50, p95) —
+                      real head motion at 25 fps is a few % of face width;
+                      detector jitter shows up as a heavy p95
+      width_cv        coefficient of variation of the box width (scale
+                      stability; the face neither approaches nor recedes
+                      much in a talking-head clip)
+      mouth_in_box    fraction of frames whose mouth center lies in the
+                      lower half of the face box (geometric sanity)
+      box_sane        fraction of frames with 0.1 <= box_w/frame_w <= 0.95
+    """
+    from lip2speech_tpu.data.video_io import load_video_gray
+
+    frames = load_video_gray(path)
+    if max_frames:
+        frames = frames[:max_frames]
+    lms = provider(frames)
+    n = len(frames)
+    fw = frames.shape[2]
+
+    centers, widths, mouth_ok, sane = [], [], 0, 0
+    detected = 0
+    for lm in lms:
+        if lm is None:
+            centers.append(None)
+            continue
+        detected += 1
+        x0, y0 = lm[:, 0].min(), lm[:, 1].min()
+        x1, y1 = lm[:, 0].max(), lm[:, 1].max()
+        w = x1 - x0
+        centers.append(((x0 + x1) / 2, (y0 + y1) / 2, w))
+        widths.append(w)
+        mouth = lm[48:68].mean(axis=0)
+        if (x0 <= mouth[0] <= x1
+                and y0 + 0.45 * (y1 - y0) <= mouth[1] <= y1 + 2):
+            mouth_ok += 1
+        if 0.1 <= w / fw <= 0.95:
+            sane += 1
+    jumps = []
+    for a, b in zip(centers, centers[1:]):
+        if a is not None and b is not None:
+            jumps.append(np.hypot(b[0] - a[0], b[1] - a[1]) / max(a[2], 1.0))
+    return {
+        "video": path,
+        "n_frames": n,
+        "detected": detected,
+        "detected_rate": detected / n,
+        "center_jump_rel_p50": float(np.percentile(jumps, 50)) if jumps else 1.0,
+        "center_jump_rel_p95": float(np.percentile(jumps, 95)) if jumps else 1.0,
+        "width_cv": (float(np.std(widths) / np.mean(widths))
+                     if widths else 1.0),
+        "mouth_in_box_rate": mouth_ok / max(detected, 1),
+        "box_sane_rate": sane / max(detected, 1),
+    }
