@@ -35,3 +35,29 @@ def flops_of(fn, args):
         return float(fn.lower(*args).compile().cost_analysis()["flops"])
     except Exception:  # noqa: BLE001
         return None
+
+
+def write_artifact(name: str, payload: dict) -> str:
+    """Persist a profiling result to artifacts/profile/<name>.json (VERDICT
+    r4 next #4: every chip claim resolves to a committed artifact, not
+    prose). Adds device kind + jax version; timestamps come from the shell
+    (`date`) via payload when callers care — not Date-free but bench-free."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = os.path.join(root, "artifacts", "profile")
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        import jax
+
+        payload = dict(payload)
+        payload.setdefault("device_kind", jax.devices()[0].device_kind)
+        payload.setdefault("jax_version", jax.__version__)
+    except Exception:  # noqa: BLE001
+        pass
+    payload.setdefault("wall_clock", time.strftime("%Y-%m-%d %H:%M:%S"))
+    path = os.path.join(out_dir, f"{name}.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    return path

@@ -130,6 +130,8 @@ def main():
         print(json.dumps(out))  # progressive — each probe costs a compile
 
     print(json.dumps(out))
+    from _bench_util import write_artifact
+    print("wrote", write_artifact("conformer_segments", out))
 
 
 if __name__ == "__main__":

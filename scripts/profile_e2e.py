@@ -173,8 +173,11 @@ def main():
                  "wall_ms": round(float(np.median(ts)) * 1e3, 2),
                  "dev_ms": None, "gflops": None, "mfu_pct": None})
 
-    print(json.dumps({"floor_ms": round(floor, 2), "batch": B, "frames": T,
-                      "device": kind, "rows": rows}, indent=1))
+    payload = {"floor_ms": round(floor, 2), "batch": B, "frames": T,
+               "device": kind, "rows": rows}
+    print(json.dumps(payload, indent=1))
+    from _bench_util import write_artifact
+    print("wrote", write_artifact("e2e_segments", payload))
 
 
 if __name__ == "__main__":

@@ -134,6 +134,8 @@ def main():
         print(json.dumps(out))  # progressive — each probe costs a compile
 
     print(json.dumps(out))
+    from _bench_util import write_artifact
+    print("wrote", write_artifact("flash_bias", out))
 
 
 if __name__ == "__main__":

@@ -73,6 +73,8 @@ def main():
             out[f"vocoder_{name}_ms"] = f"error: {str(e)[:300]}"
 
     print(json.dumps(out))
+    from _bench_util import write_artifact
+    print("wrote", write_artifact("fused_tail", out))
 
 
 if __name__ == "__main__":

@@ -174,6 +174,8 @@ def main():
     out["full_gan_step_ms"] = round(
         time_step(step, state, max(3, args.iters // 2)) - floor, 1)
     print(json.dumps(out))
+    from _bench_util import write_artifact
+    print("wrote", write_artifact("gan_step", out))
 
 
 if __name__ == "__main__":

@@ -133,6 +133,8 @@ def main():
                                      jax.random.PRNGKey(1), args.iters) * 1e3
     out["full_update_ms"] = round(ms - floor, 1)
     print(json.dumps(out))
+    from _bench_util import write_artifact
+    print("wrote", write_artifact("stage1_step", out))
 
 
 if __name__ == "__main__":
