@@ -24,6 +24,11 @@ class EvalResult:
     stoi: float = 0.0
     estoi: float = 0.0
     pesq: float | None = None
+    # schema-enforced caveat (VERDICT r4 next #8): with the in-tree P.862
+    # approximation the absolute MOS-LQO is unanchored to the ITU reference
+    # binaries — "relative-only" means compare WITHIN this harness, never
+    # against published PESQ tables. "itu" when the external package scored.
+    pesq_anchor: str | None = None
     wer: float | None = None
     viseme_dist: float | None = None
     per_utt: dict = field(default_factory=dict)
@@ -41,6 +46,9 @@ def evaluate_pair(pred_wav: np.ndarray, gt_wav: np.ndarray,
     try:
         out["pesq"] = M.pesq_score(gt, pred, fs)
         out["pesq_mode"] = "nb"  # P.862 narrowband MOS-LQO (see metrics.pesq_score)
+        impl = M.pesq_impl()
+        # relative-only unless the bit-exact ITU package scored it
+        out["pesq_anchor"] = "itu" if impl == "itu" else "relative-only"
     except Exception:
         # clip too short for P.862 (<128 ms) raises ValueError from the
         # in-tree path; the optional external `pesq` package raises its own
@@ -99,6 +107,8 @@ def evaluate_synthesis(
         res.estoi = float(np.mean(estois))
     if pesqs:
         res.pesq = float(np.mean(pesqs))
+        res.pesq_anchor = ("itu" if M.pesq_impl() == "itu"
+                           else "relative-only")
     if wers:
         res.wer = float(np.mean(wers))
         res.viseme_dist = float(np.mean(vdists))

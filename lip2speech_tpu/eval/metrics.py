@@ -150,6 +150,21 @@ def pesq_score(clean, degraded, fs: int = 16_000, mode: str = "nb") -> float:
         return float(_pesq_intree(np.asarray(clean), np.asarray(degraded), fs, mode))
 
 
+def pesq_impl() -> str:
+    """Which PESQ implementation `pesq_score` will use: "itu" (external
+    `pesq` package, bit-exact ITU code) or "intree-approx" (eval/pesq_p862.py,
+    a faithful but UNANCHORED P.862 implementation — its absolute MOS-LQO has
+    never been validated against the ITU reference binaries, so scores are
+    RELATIVE-ONLY: valid for comparing systems within this harness, not for
+    quoting next to published PESQ figures — VERDICT r4 next #8)."""
+    try:
+        import pesq  # noqa: F401
+
+        return "itu"
+    except ImportError:
+        return "intree-approx"
+
+
 # ---------------------------------------------------------------------------
 # Text metrics
 # ---------------------------------------------------------------------------

@@ -320,6 +320,28 @@ def main():
         report["snapshots"].append(snap)
         print(json.dumps(snap), flush=True)
 
+    # ---- checkpoint selection (VERDICT r4 next #5) ----
+    # Pick the snapshot by held-out ESTOI (tie-break: unit accuracy) instead
+    # of blindly reporting the final step — the reference's own practice
+    # (best_checkpoint_metric: accuracy, conf/lrs3/multi_target.yaml:12-17).
+    # Both rows stay in the report so selected-vs-final is visible.
+    trained = [s for s in report["snapshots"] if s["s1_step"] > 0]
+    if trained:
+        def _sel_key(s):
+            return (s["estoi"] if s.get("estoi") is not None else -1e9,
+                    s.get("unit_accuracy") or 0.0)
+        best = max(trained, key=_sel_key)
+        final = max(trained, key=lambda s: (s["s1_step"], s["s2_step"]))
+        report["selected"] = {
+            "metric": "estoi",
+            "best": best, "final": final,
+            "estoi_gain_vs_final": (None if best.get("estoi") is None
+                                    or final.get("estoi") is None else
+                                    float(best["estoi"] - final["estoi"])),
+        }
+        print("selected checkpoint:", json.dumps(report["selected"]),
+              flush=True)
+
     if acc_final is None and report["snapshots"]:
         report["final_train"] = {
             "unit_accuracy": report["snapshots"][-1].get(

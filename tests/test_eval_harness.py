@@ -42,6 +42,22 @@ def test_evaluate_synthesis_directory(lrs3_sample_dir, tmp_path):
     assert res.pesq is not None and 1.0 < res.pesq <= 4.64
     out = res.to_json()
     assert "stoi" in out
+    # schema-enforced PESQ caveat (VERDICT r4 next #8): whenever a PESQ
+    # number exists, the record must carry its anchoring so an in-tree
+    # (approximate, relative-only) score can never be quoted as ITU MOS-LQO
+    assert res.pesq_anchor in ("itu", "relative-only")
+    assert "pesq_anchor" in out
+
+
+def test_pesq_caveat_in_pair_schema(lrs3_sample_dir):
+    from lip2speech_tpu.eval import metrics as M
+
+    wav, _ = read_wav(lrs3_sample_dir / "audio/test/UmvOgW6iV2s/00001.wav")
+    pair = evaluate_pair(wav, wav)
+    if "pesq" in pair:
+        assert pair["pesq_anchor"] == (
+            "itu" if M.pesq_impl() == "itu" else "relative-only")
+        assert pair["pesq_mode"] == "nb"
 
 
 def test_groundtruth_csv(tmp_path):

@@ -60,3 +60,21 @@ def test_held_out_metrics_beat_random_init():
     assert final["mel_l1"] <= 0.6 * init["mel_l1"], (init, final)
     # intelligibility (the robust variant): improved over init
     assert final["estoi"] > max(init["estoi"], 0.0), (init, final)
+
+
+def test_checkpoint_selection_beats_or_matches_final():
+    """VERDICT r4 next #5: the protocol selects the snapshot by held-out
+    ESTOI (the reference's best_checkpoint_metric practice,
+    conf/lrs3/multi_target.yaml:12-17) instead of blindly shipping the
+    final step. Selection can only help: best-by-ESTOI >= final."""
+    rep = _report()
+    trained = [s for s in rep["snapshots"] if s["s1_step"] > 0]
+    assert trained, rep["snapshots"]
+    best = max(trained, key=lambda s: (s["estoi"], s["unit_accuracy"]))
+    final = max(trained, key=lambda s: (s["s1_step"], s["s2_step"]))
+    assert best["estoi"] >= final["estoi"]
+    sel = rep.get("selected")
+    if sel is not None:   # artifact written by the post-r4 quality_loop
+        assert sel["metric"] == "estoi"
+        assert sel["best"]["estoi"] == best["estoi"], (sel["best"], best)
+        assert sel["best"]["estoi"] >= sel["final"]["estoi"]
