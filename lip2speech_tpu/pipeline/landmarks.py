@@ -112,6 +112,49 @@ class DlibLandmarks:
         return out
 
 
+class ErtLandmarks:
+    """In-tree trained shape predictor (pipeline/ert.py) over a face-box
+    provider — the dlib-free analogue of the reference's custom-predictor
+    serving path (face_landmarks_server.py: detector box -> shape predictor
+    -> 68/41-pt landmarks, zero-padded to 68 for inner-face models).
+
+    box_provider: any LandmarkProvider whose output bounding box locates the
+    face (default: the trained cascade when available, else the heuristic).
+    """
+
+    def __init__(self, model_path: str, box_provider=None,
+                 expand: float = 0.0):
+        from .ert import ErtModel
+
+        self.model = ErtModel.load(model_path)
+        # NOT default_landmarker(): that would recurse when
+        # LIP2SPEECH_ERT_PREDICTOR selects this class
+        self.box_provider = box_provider or (
+            CascadeLandmarks() if CascadeLandmarks.available()
+            else HeuristicLandmarks())
+        self.expand = expand
+
+    def __call__(self, frames: np.ndarray) -> list[np.ndarray | None]:
+        from ..cli.shape_predictor import pad_inner_to_68
+
+        base = self.box_provider(frames)
+        out: list[np.ndarray | None] = []
+        for frame, lm in zip(frames, base):
+            if lm is None:
+                out.append(None)
+                continue
+            x0, y0 = lm[:, 0].min(), lm[:, 1].min()
+            x1, y1 = lm[:, 0].max(), lm[:, 1].max()
+            if self.expand:
+                dx = self.expand * (x1 - x0)
+                dy = self.expand * (y1 - y0)
+                x0, y0, x1, y1 = x0 - dx, y0 - dy, x1 + dx, y1 + dy
+            pred = self.model.predict(np.asarray(frame), (x0, y0, x1, y1))
+            out.append(pad_inner_to_68(pred) if pred.shape[0] == 41
+                       else pred)
+        return out
+
+
 def box_iou(a, b) -> float:
     """IoU of two (x0, y0, x1, y1) boxes."""
     if a is None or b is None:
@@ -622,10 +665,18 @@ def default_landmarker() -> "LandmarkProvider":
     detector. Measured on /root/reference/datasets/example.mp4 (real face,
     132 frames): cascade detects 132/132 with the mouth ROI on the lips;
     the heuristic's saliency box includes the neck and crops the collar
-    (QUALITY.md real-video table)."""
-    if CascadeLandmarks.available():
-        return CascadeLandmarks()
-    return HeuristicLandmarks()
+    (QUALITY.md real-video table). A trained ERT shape-predictor model
+    (cli/shape_predictor.py train) refines the layout inside the detected
+    box when LIP2SPEECH_ERT_PREDICTOR points at its .npz — the reference's
+    custom-predictor switch (face_landmarks_server.py)."""
+    import os
+
+    base = (CascadeLandmarks() if CascadeLandmarks.available()
+            else HeuristicLandmarks())
+    ert_path = os.environ.get("LIP2SPEECH_ERT_PREDICTOR")
+    if ert_path and Path(ert_path).exists():
+        return ErtLandmarks(ert_path, box_provider=base)
+    return base
 
 
 def extract_mouth_video(frames: np.ndarray, provider: LandmarkProvider,

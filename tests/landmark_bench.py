@@ -22,8 +22,12 @@ H, W = 240, 320
 
 def render_video(t=20, seed=0, cx=160.0, cy=120.0, rx=55.0, ry=72.0,
                  background="plain", jitter=0.0, scale_drift=0.0,
-                 distractor=False, yaw=0.0, roll=0.0):
-    """Returns (frames uint8 (t, H, W), gt_boxes list, mouth_centers list).
+                 distractor=False, yaw=0.0, roll=0.0,
+                 return_landmarks=False):
+    """Returns (frames uint8 (t, H, W), gt_boxes list, mouth_centers list);
+    with return_landmarks=True, a 4th element: per-frame (68, 2) ground-truth
+    landmarks in the iBUG layout, derived from the same parametric geometry
+    that painted the features (shape-predictor training data).
 
     yaw (radians, proxy): compresses the face horizontally by cos(yaw) and
     shifts the features toward the leading edge by sin(yaw) — the
@@ -48,7 +52,7 @@ def render_video(t=20, seed=0, cx=160.0, cy=120.0, rx=55.0, ry=72.0,
     else:
         raise ValueError(background)
 
-    frames, boxes, mouths = [], [], []
+    frames, boxes, mouths, all_lms = [], [], [], []
     fx, fy, s = cx, cy, 1.0
     for i in range(t):
         if jitter:
@@ -99,7 +103,72 @@ def render_video(t=20, seed=0, cx=160.0, cy=120.0, rx=55.0, ry=72.0,
         mx = fx + du * ct - mouth_v * st
         my = fy + du * st + mouth_v * ct
         mouths.append((mx, my))
+        if return_landmarks:
+            all_lms.append(_layout_landmarks(fx, fy, _rxe, _ry, du, ct, st,
+                                             mouth_v, open_px))
+    if return_landmarks:
+        return (np.stack(frames).astype(np.uint8), boxes, mouths, all_lms)
     return np.stack(frames).astype(np.uint8), boxes, mouths
+
+
+def _layout_landmarks(fx, fy, rxe, ry, du, ct, st, mouth_v, open_px):
+    """iBUG-68 layout from the renderer's own face-local geometry: the jaw
+    traces the painted head ellipse, brows/eyes/nose/lips sit exactly where
+    render_video paints them (eye centers du +- 0.42*rxe at -0.28*ry, brows
+    -0.42*ry, nose ridge at u=du, outer lips 0.38*rxe x open_px around
+    mouth_v)."""
+    pts = np.zeros((68, 2))
+    # 0..16 jaw: lower head-ellipse arc, temple -> chin -> temple
+    alpha = np.pi + np.pi * np.arange(17) / 16.0
+    pts[0:17, 0] = rxe * np.cos(alpha)
+    pts[0:17, 1] = -ry * np.sin(alpha)
+    # 17..26 brows (5 points each at v = -0.42*ry, half-width 0.2*rxe)
+    for base, ex in ((17, du - 0.42 * rxe), (22, du + 0.42 * rxe)):
+        pts[base:base + 5, 0] = ex + np.linspace(-0.2, 0.2, 5) * rxe
+        pts[base:base + 5, 1] = -0.42 * ry
+    # 27..30 nose ridge; 31..35 nose base
+    pts[27:31, 0] = du
+    pts[27:31, 1] = np.linspace(-0.25, 0.12, 4) * ry
+    pts[31:36, 0] = du + np.linspace(-0.08, 0.08, 5) * rxe
+    pts[31:36, 1] = 0.18 * ry
+    # 36..47 eyes: 6 points on each painted eye ellipse
+    th6 = 2 * np.pi * np.arange(6) / 6.0
+    for base, ex in ((36, du - 0.42 * rxe), (42, du + 0.42 * rxe)):
+        pts[base:base + 6, 0] = ex + 0.16 * rxe * np.cos(th6)
+        pts[base:base + 6, 1] = -0.28 * ry + 0.08 * ry * np.sin(th6)
+    # 48..59 outer lips / 60..67 inner lips around the painted mouth bar
+    th12 = 2 * np.pi * np.arange(12) / 12.0
+    pts[48:60, 0] = du + 0.38 * rxe * np.cos(th12)
+    pts[48:60, 1] = mouth_v + open_px * np.sin(th12)
+    th8 = 2 * np.pi * np.arange(8) / 8.0
+    pts[60:68, 0] = du + 0.30 * rxe * np.cos(th8)
+    pts[60:68, 1] = mouth_v + 0.6 * open_px * np.sin(th8)
+    # face-local -> image coordinates (the renderer's roll rotation)
+    out = np.empty_like(pts)
+    out[:, 0] = fx + pts[:, 0] * ct - pts[:, 1] * st
+    out[:, 1] = fy + pts[:, 0] * st + pts[:, 1] * ct
+    return out
+
+
+def render_face_dataset(n=30, seed=0, landmark_slice=slice(0, 68)):
+    """n single-frame faces with varied pose/scale/position/background:
+    (image (H, W) uint8, face box, (L, 2) landmarks) samples for
+    shape-predictor training (reference workflow:
+    dlib/generate_shape_predictor_dataset.py + train_shape_predictor.py)."""
+    rng = np.random.default_rng(seed)
+    backgrounds = ["plain", "gradient", "textured"]
+    samples = []
+    for i in range(n):
+        frames, boxes, _mouths, lms = render_video(
+            t=1, seed=int(rng.integers(1 << 31)),
+            cx=float(rng.uniform(110, 210)), cy=float(rng.uniform(90, 150)),
+            rx=float(rng.uniform(40, 62)), ry=float(rng.uniform(52, 80)),
+            yaw=float(rng.uniform(-0.35, 0.35)),
+            roll=float(rng.uniform(-0.25, 0.25)),
+            background=backgrounds[i % 3],
+            return_landmarks=True)
+        samples.append((frames[0], boxes[0], lms[0][landmark_slice]))
+    return samples
 
 
 SCENARIOS = {
