@@ -38,7 +38,8 @@ def extract_mel(wav: np.ndarray, audio: AudioConfig = AudioConfig()) -> np.ndarr
         audio.win_length, audio.num_mels, audio.fmin, audio.fmax))[0]
 
 
-def init_sample(video_path: Path, audio_path: Path, out_root: Path, rel_id: str,
+def init_sample(video_path: Path, audio_path: Path | None, out_root: Path,
+                rel_id: str,
                 landmarks_path: Path | None = None,
                 spk_emb_path: Path | None = None,
                 mean_face: np.ndarray | None = None,
@@ -46,6 +47,9 @@ def init_sample(video_path: Path, audio_path: Path, out_root: Path, rel_id: str,
                 auto_landmarks: bool = False) -> Utterance:
     """Prepare one utterance into the dataset tree layout
     (video/ audio/ mel/ spk_emb/ landmark/ — reference config.py:39-49).
+
+    audio_path=None extracts the clip's own audio track in-process (native
+    libav shim — the reference's EXTRACT_AUDIO_COMMAND ffmpeg subprocess).
 
     Speaker embedding priority: an explicit .npy > in-process GE2E d-vector
     from the clip's own audio (speaker_params; replaces the reference's RTVC
@@ -66,14 +70,24 @@ def init_sample(video_path: Path, audio_path: Path, out_root: Path, rel_id: str,
 
     save_video_gray(out_root / "video" / f"{rel_id}.mp4", frames)
 
-    wav, sr = read_wav(audio_path)
-    if wav.ndim > 1:
-        wav = wav.mean(axis=1)
-    import shutil
-
     dst_audio = out_root / "audio" / f"{rel_id}.wav"
     dst_audio.parent.mkdir(parents=True, exist_ok=True)
-    shutil.copyfile(audio_path, dst_audio)
+    if audio_path is None:
+        from lip2speech_tpu.pipeline.media import extract_audio
+
+        sr = AudioConfig().sample_rate
+        wav = extract_audio(video_path, dst_audio, sr=sr)
+        if wav is None:
+            raise RuntimeError(
+                f"no audio sidecar for {video_path} and no in-process "
+                f"audio backend (native libav shim / ffmpeg)")
+    else:
+        wav, sr = read_wav(audio_path)
+        if wav.ndim > 1:
+            wav = wav.mean(axis=1)
+        import shutil
+
+        shutil.copyfile(audio_path, dst_audio)
 
     mel = extract_mel(wav)
     mel_path = out_root / "mel" / f"{rel_id}.npy"
@@ -233,7 +247,10 @@ def main():
 
     p_init = sub.add_parser("init")
     p_init.add_argument("--videos", nargs="+", required=True)
-    p_init.add_argument("--audios", nargs="+", required=True)
+    p_init.add_argument("--audios", nargs="*", default=None,
+                        help="per-clip wav files; omit to extract each "
+                             "clip's own audio track in-process (native "
+                             "libav shim)")
     p_init.add_argument("--landmarks", nargs="*", default=None,
                         help="per-clip 68-point landmark .npy files (raw video "
                              "is mouth-cropped in-process)")
@@ -275,10 +292,11 @@ def main():
                           if args.speaker_encoder else None)
 
         def _job(i):
-            v, a = args.videos[i], args.audios[i]
+            v = args.videos[i]
+            a = Path(args.audios[i]) if args.audios else None
             lm = Path(args.landmarks[i]) if args.landmarks else None
             se = Path(args.spk_embs[i]) if args.spk_embs else None
-            return init_sample(Path(v), Path(a), out_root,
+            return init_sample(Path(v), a, out_root,
                                f"{args.split}/clip/{i:05d}",
                                landmarks_path=lm, spk_emb_path=se,
                                speaker_params=speaker_params,

@@ -22,15 +22,23 @@ _LOCK = threading.Lock()
 _LIBS: dict = {}
 
 
+# per-stem extra link flags (media_demux links the system libav — present
+# in this image even though the ffmpeg binary is not)
+_LINK_FLAGS = {
+    "media_demux": ["-lavformat", "-lavcodec", "-lavutil", "-lswresample"],
+}
+
+
 def _build(stem: str) -> Path | None:
     src = _HERE / f"{stem}.c"
     out = _HERE / f"_{stem}.so"
     if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
         return out
+    extra = _LINK_FLAGS.get(stem, [])
     for cc in ("cc", "gcc", "g++", "clang"):
         try:
             subprocess.run([cc, "-O2", "-shared", "-fPIC", str(src),
-                            "-o", str(out), "-lm"],
+                            "-o", str(out), "-lm", *extra],
                            check=True, capture_output=True)
             return out
         except (FileNotFoundError, subprocess.CalledProcessError):
@@ -69,6 +77,70 @@ def _cfg_ctc_beam(lib):
         ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_double)]
+
+
+def _cfg_media_demux(lib):
+    lib.l2s_decode_audio.restype = ctypes.c_long
+    lib.l2s_decode_audio.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_long)]
+    lib.l2s_free.restype = None
+    lib.l2s_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    lib.l2s_probe_audio.restype = ctypes.c_long
+    lib.l2s_probe_audio.argtypes = [ctypes.c_char_p]
+
+
+_DEMUX_ERRORS = {
+    -1: "container open/probe failed",
+    -2: "no audio stream",
+    -3: "audio decoder unavailable",
+    -4: "resampler init failed",
+    -5: "decode error",
+    -6: "allocation failure",
+}
+
+
+def decode_audio(path, target_sr: int = 16000) -> np.ndarray | None:
+    """In-process audio extraction: first audio stream of any libav
+    container -> mono float32 at target_sr (the reference's
+    `ffmpeg -i src -vn -ac 1 -ar SR` subprocess, config.py
+    EXTRACT_AUDIO_COMMAND, without the binary).
+
+    Returns None when no compiler/libav is available (callers keep their
+    ffmpeg-binary gate as the fallback); raises ValueError for real decode
+    errors (missing audio stream, corrupt file)."""
+    lib = _lib("media_demux", _cfg_media_demux)
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_long(0)
+    rc = lib.l2s_decode_audio(str(path).encode(), int(target_sr),
+                              ctypes.byref(out), ctypes.byref(n))
+    if rc != 0:
+        raise ValueError(
+            f"audio decode of {path} failed: "
+            f"{_DEMUX_ERRORS.get(rc, f'code {rc}')}")
+    try:
+        if n.value == 0:
+            return np.zeros(0, np.float32)
+        return np.ctypeslib.as_array(out, shape=(n.value,)).copy()
+    finally:
+        lib.l2s_free(out)
+
+
+def probe_audio_sample_rate(path) -> int | None:
+    """Sample rate of the container's first audio stream; 0 when the
+    container has NO audio stream; None when the shim is unavailable."""
+    lib = _lib("media_demux", _cfg_media_demux)
+    if lib is None:
+        return None
+    rc = lib.l2s_probe_audio(str(path).encode())
+    if rc == -2:
+        return 0
+    if rc < 0:
+        raise ValueError(f"cannot probe {path}")
+    return int(rc)
 
 
 def edit_distance(a, b) -> int:
