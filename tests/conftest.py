@@ -47,8 +47,12 @@ SMOKE_FILES = {
     "test_pipeline_e2e.py",
     "test_server_batched.py",
 }
+#   test_generator_flag_is_transparent    ~26 s warm (whole-generator
+#     equivalence sweep; the per-stage parity + serve-time fallback smoke
+#     members already cover the fused-tail kernel's correctness surface)
 SMOKE_EXCLUDE = {"test_discriminators_run_and_losses",
-                 "test_dryrun_multichip_small"}
+                 "test_dryrun_multichip_small",
+                 "test_generator_flag_is_transparent"}
 
 
 def pytest_collection_modifyitems(config, items):
