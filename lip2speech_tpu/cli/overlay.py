@@ -4,9 +4,9 @@ Rebuild of reference overlay.py:12-71 with both its debug options:
 --landmarks-dir draws the per-frame landmarks onto the video (reference
 helpers.debug_video, in-image via cv2), --denoise-and-normalise runs the
 in-process normalize->spectral-gate->normalize chain (reference
-preprocess_audio) on each wav. Muxing needs ffmpeg (not in this image);
-when absent, the tool still writes the debug videos / cleaned wavs and a
-manifest of (video, wav) pairs so any muxer can finish the job.
+preprocess_audio) on each wav. Muxing prefers the ffmpeg binary and falls
+back to the IN-PROCESS native libav shim (native/media_mux.c); a manifest
+of (video, wav, out) triples is always written.
 """
 
 from __future__ import annotations
@@ -63,16 +63,25 @@ def draw_landmarks_video(video_path: Path, landmarks_path: Path,
 
 
 def overlay_audio(video_path: Path, wav_path: Path, out_path: Path) -> bool:
-    """Mux wav over video (replacing its audio). Returns False if no ffmpeg."""
-    if not ffmpeg_available():
-        return False
+    """Mux wav over video (replacing its audio): ffmpeg binary when present,
+    else IN-PROCESS through the native libav shim (native/media_mux.c —
+    stream-copied video + AAC audio, -shortest semantics). Returns False
+    only when neither backend exists."""
     out_path.parent.mkdir(parents=True, exist_ok=True)
-    subprocess.run(
-        ["ffmpeg", "-y", "-i", str(video_path), "-i", str(wav_path),
-         "-map", "0:v", "-map", "1:a", "-c:v", "copy", "-shortest",
-         str(out_path)],
-        check=True, capture_output=True)
-    return True
+    if ffmpeg_available():
+        subprocess.run(
+            ["ffmpeg", "-y", "-i", str(video_path), "-i", str(wav_path),
+             "-map", "0:v", "-map", "1:a", "-c:v", "copy", "-shortest",
+             str(out_path)],
+            check=True, capture_output=True)
+        return True
+    from lip2speech_tpu import native
+    from lip2speech_tpu.utils.audio_io import read_wav
+
+    wav, sr = read_wav(wav_path)
+    if wav.ndim > 1:
+        wav = wav.mean(axis=1)
+    return native.mux_overlay(video_path, wav, sr, out_path)
 
 
 def main():
@@ -138,7 +147,8 @@ def main():
 
     (out_dir / "overlay_manifest.json").write_text(json.dumps(pairs, indent=2))
     print(json.dumps({"pairs": len(pairs), "muxed": muxed,
-                      "ffmpeg": ffmpeg_available()}))
+                      "backend": ("ffmpeg" if ffmpeg_available()
+                                  else "native-libav")}))
 
 
 if __name__ == "__main__":

@@ -26,6 +26,7 @@ _LIBS: dict = {}
 # in this image even though the ffmpeg binary is not)
 _LINK_FLAGS = {
     "media_demux": ["-lavformat", "-lavcodec", "-lavutil", "-lswresample"],
+    "media_mux": ["-lavformat", "-lavcodec", "-lavutil"],
 }
 
 
@@ -141,6 +142,44 @@ def probe_audio_sample_rate(path) -> int | None:
     if rc < 0:
         raise ValueError(f"cannot probe {path}")
     return int(rc)
+
+
+def _cfg_media_mux(lib):
+    lib.l2s_mux_overlay.restype = ctypes.c_long
+    lib.l2s_mux_overlay.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ctypes.c_int, ctypes.c_char_p]
+
+
+_MUX_ERRORS = {
+    -1: "cannot open input video",
+    -2: "no video stream",
+    -3: "cannot open output",
+    -4: "AAC encoder unavailable",
+    -5: "container header/trailer write failed",
+    -6: "packet write failed",
+    -7: "allocation failure",
+}
+
+
+def mux_overlay(video_path, audio: np.ndarray, sr: int, out_path) -> bool:
+    """Replace a video's audio with the given mono float32 PCM, in-process
+    (the reference's `ffmpeg -map 0:v -map 1:a -c:v copy -shortest`
+    listening-copy mux, overlay.py). Video packets are stream-copied, audio
+    is AAC-encoded, audio stops at the video's end. Returns False when the
+    shim can't build; raises ValueError on real mux errors."""
+    lib = _lib("media_mux", _cfg_media_mux)
+    if lib is None:
+        return False
+    a = np.ascontiguousarray(np.asarray(audio, np.float32))
+    rc = lib.l2s_mux_overlay(
+        str(video_path).encode(),
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(a),
+        int(sr), str(out_path).encode())
+    if rc != 0:
+        raise ValueError(f"mux of {video_path} + audio failed: "
+                         f"{_MUX_ERRORS.get(rc, f'code {rc}')}")
+    return True
 
 
 def edit_distance(a, b) -> int:

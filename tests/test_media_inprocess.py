@@ -148,6 +148,58 @@ def test_raw_video_ingestion_without_audio_sidecar(tmp_path):
     assert vid.shape == (132, 96, 96) and vid.dtype == np.uint8
 
 
+def test_mux_overlay_roundtrip(tmp_path):
+    """In-process listening-copy mux (reference overlay.py's
+    `-map 0:v -map 1:a -c:v copy -shortest`): video packets stream-copied,
+    audio replaced by the given PCM, audio clipped at the video's end."""
+    _shim()
+    sr = 16_000
+    t = np.arange(int(8.0 * sr)) / sr          # LONGER than the 5.28 s video
+    tone = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    out = tmp_path / "overlaid.mp4"
+    assert native.mux_overlay(EXAMPLE, tone, sr, out)
+
+    back = native.decode_audio(out, sr)
+    assert 5.0 <= len(back) / sr <= 5.6        # -shortest: video is 5.28 s
+    spec = np.abs(np.fft.rfft(back[: sr * 4]))
+    assert abs(np.argmax(spec) / 4 - 440.0) < 2.0
+    props = media.video_props(out)
+    assert props["frame_count"] == 132         # stream copy: frames intact
+    assert (props["width"], props["height"]) == (224, 224)
+
+
+def test_overlay_cli_end_to_end(tmp_path):
+    """cli/overlay.py muxes through the native shim when ffmpeg is absent."""
+    _shim()
+    import json
+    import subprocess
+    import sys
+
+    vdir = tmp_path / "videos"
+    wdir = tmp_path / "wavs"
+    odir = tmp_path / "out"
+    vdir.mkdir()
+    wdir.mkdir()
+    import shutil
+
+    shutil.copyfile(EXAMPLE, vdir / "clip.mp4")
+    sr = 16_000
+    write_wav(wdir / "clip.wav",
+              (0.2 * np.random.default_rng(0).standard_normal(3 * sr)
+               ).astype(np.float32), sr)
+    proc = subprocess.run(
+        [sys.executable, "-m", "lip2speech_tpu.cli.overlay",
+         "--video-dir", str(vdir), "--pred-wav-dir", str(wdir),
+         "--out-dir", str(odir)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-500:]
+    status = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert status["pairs"] == 1 and status["muxed"] == 1
+    out = odir / "clip_overlay.mp4"
+    assert media.video_props(out)["frame_count"] == 132
+    assert native.probe_audio_sample_rate(out) == sr
+
+
 def test_audio_pad_ops(tmp_path):
     sr = 16_000
     audio = np.sin(np.linspace(0, 100, sr)).astype(np.float32) * 0.5
