@@ -215,6 +215,19 @@ def _stage1_step_setup(accum, b, t, check_flash=False, uint8=False,
 # Every body returns a flat dict merged into the headline's `details`.
 
 
+def measure_probe():
+    """Trivial grant probe: one tiny matmul. Run first (and retried cheap)
+    so a wedged relay grant is burned/freed on a throwaway instead of on
+    the headline anchor (observed r5: the first client after a bench start
+    can futex-wait forever; killing it frees the grant)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((256, 256))
+    v = float(np.asarray(x @ x)[0, 0])
+    return {"probe": v, "platform": jax.devices()[0].platform}
+
+
 def measure_plain():
     """Plain-XLA e2e (no fused tail, no flash): the headline ANCHOR and the
     honest MFU reference (XLA cost analysis cannot see inside the fused
@@ -384,7 +397,39 @@ def measure_stage2(iters=5):
     return details
 
 
+def _measure_group(members):
+    """Run several measurement bodies INSIDE one subprocess — one relay
+    grant acquisition for the whole family (the r5 wedge strikes at grant
+    time, so five subprocesses = five lottery tickets; see NOTES). Each
+    member is error-isolated: a failure stashes an error string under the
+    member's name and the rest still run."""
+    out = {}
+    for fn in members:
+        name = fn.__name__.removeprefix("measure_")
+        t0 = time.time()
+        try:
+            out.update(fn())
+        except Exception as e:  # noqa: BLE001
+            out[name] = f"error: {str(e)[:200]}"
+        print(f"[group] {name}: {time.time() - t0:.0f}s",
+              file=sys.stderr, flush=True)
+    return out
+
+
+def measure_serving_rest_group():
+    """Everything serving EXCEPT plain (plain runs alone first so the
+    contract line exists early)."""
+    return _measure_group([measure_fused, measure_batch1,
+                           measure_throughput8, measure_flagship])
+
+
+def measure_train_group():
+    return _measure_group([measure_stage2, measure_stage1_recipe,
+                           measure_stage1, measure_stage1_bf16])
+
+
 MEASUREMENTS = {
+    "probe": measure_probe,
     "plain": measure_plain,
     "fused": measure_fused,
     "batch1": measure_batch1,
@@ -394,7 +439,24 @@ MEASUREMENTS = {
     "stage1_recipe": measure_stage1_recipe,
     "stage1": measure_stage1,
     "stage1_bf16": measure_stage1_bf16,
+    "serving_rest_group": measure_serving_rest_group,
+    "train_group": measure_train_group,
 }
+
+# group plans: one subprocess = ONE relay-grant acquisition per family
+# (the r5 wedge strikes at grant time). Fallback singles run only for the
+# keys a failed group left missing.
+GROUP_PLAN = [
+    # (group name, budget, sentinel->fallback singles)
+    ("serving_rest_group", 2000, {"fused_rtf": ("fused", 900),
+                                  "batch1_p50_ms": ("batch1", 600),
+                                  "throughput8_rtf": ("throughput8", 600),
+                                  "flagship_rtf": ("flagship", 900)}),
+    ("train_group", 2800, {"stage2_train_step_ms": ("stage2", 1500),
+                           "stage1_recipe_step_ms": ("stage1_recipe", 1200),
+                           "stage1_train_step_ms": ("stage1", 900),
+                           "stage1_recipe_bf16_ms": ("stage1_bf16", 900)}),
+]
 
 # priority order + per-measurement wall budget (seconds). Budgets cover a
 # COLD relay compile — a killed subprocess writes nothing to the persistent
@@ -410,7 +472,9 @@ DETAIL_PLAN = [
     ("stage1_recipe", 1200),
     ("flagship", 900),
     ("throughput8", 600),
-    ("stage1", 600),
+    ("stage1", 900),      # 600 s proved too tight under relay weather even
+    #                       with a warm cache (r5: warm pass 339 s, measuring
+    #                       pass killed at 600 s in the same session)
     ("stage1_bf16", 900),
 ]
 
@@ -426,23 +490,82 @@ def _run_measurement(name):
     print("\n" + json.dumps(result), flush=True)
 
 
+STALL_WINDOW_S = 180.0   # no CPU progress for this long => wedged
+
+
+def _child_cpu_s(pid) -> float | None:
+    """utime+stime of a child process in seconds (Linux /proc)."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().split()
+        return (int(parts[13]) + int(parts[14])) / os.sysconf("SC_CLK_TCK")
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _run_with_watchdog(name, budget_s):
+    """Popen + poll with a no-progress watchdog.
+
+    The axon relay's device grant can WEDGE after a client is killed
+    mid-TPU-call (observed r5): the next client then futex-waits forever
+    with zero CPU — and killing THAT client is what frees the grant. So a
+    child whose CPU time hasn't advanced in STALL_WINDOW_S is killed early
+    (returning 'stalled'), which both salvages the budget and self-heals
+    the relay for the caller's retry."""
+    import tempfile
+
+    # spool to files, not pipes: a pipe-buffer-full child would block on
+    # write with frozen CPU and the watchdog would misread it as a wedge
+    with tempfile.TemporaryFile("w+") as fo, \
+            tempfile.TemporaryFile("w+") as fe:
+        popen = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--measure", name],
+            stdout=fo, stderr=fe, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+        deadline = time.time() + budget_s
+        last_cpu, last_advance = -1.0, time.time()
+        while popen.poll() is None:
+            time.sleep(5)
+            now = time.time()
+            cpu = _child_cpu_s(popen.pid)
+            if cpu is not None and cpu > last_cpu + 0.5:
+                last_cpu, last_advance = cpu, now
+            grace = now - last_advance
+            if now > deadline or grace > STALL_WINDOW_S:
+                popen.kill()
+                popen.wait()
+                why = (f"timeout after {budget_s}s" if now > deadline
+                       else f"stalled: no CPU progress for {grace:.0f}s "
+                            f"(relay grant wedge)")
+                return None, why
+        fo.seek(0)
+        fe.seek(0)
+        popen._bench_out = fo.read()
+        popen._bench_err = fe.read()
+    return popen, None
+
+
 def _subprocess_measure(name, budget_s):
     """Run one measurement in a subprocess; returns (dict | None, err | None).
 
     The subprocess is SIGKILLed at its budget — acceptable collateral: the
-    axon relay has recovered from the driver's own timeout-kills, and
-    salvaging the headline beats letting one stall eat the whole record."""
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--measure", name],
-            capture_output=True, text=True, timeout=budget_s,
-            cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
-    except subprocess.TimeoutExpired:
-        return None, f"timeout after {budget_s}s"
+    axon relay USUALLY recovers from timeout-kills, but a kill mid-TPU-call
+    can wedge the device grant until the next client is ALSO killed
+    (observed r5: the killed attempt's successor futex-waited 20+ min with
+    zero CPU). Progress lines go to stderr so a stall is attributable."""
+    print(f"[bench] {name}: start (budget {budget_s:.0f}s)",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
+    proc, err = _run_with_watchdog(name, budget_s)
+    if proc is None:
+        print(f"[bench] {name}: KILLED ({err})", file=sys.stderr, flush=True)
+        return None, err
+    print(f"[bench] {name}: rc={proc.returncode} "
+          f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
     if proc.returncode != 0:
-        tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+        tail = (proc._bench_err or proc._bench_out or "").strip().splitlines()
         return None, f"rc={proc.returncode}: {' | '.join(tail[-3:])[:400]}"
-    for line in reversed(proc.stdout.strip().splitlines()):
+    for line in reversed(proc._bench_out.strip().splitlines()):
         try:
             return json.loads(line), None
         except json.JSONDecodeError:
@@ -498,6 +621,14 @@ def main():
 
     details: dict = {}
 
+    # 0. grant probe: burn any relay-grant wedge on a throwaway matmul
+    #    (up to 3 attempts x ~3 min stall window) before the anchor runs
+    for _ in range(3):
+        pres, perr = _subprocess_measure("probe",
+                                         min(420.0, remaining() - 60))
+        if pres is not None:
+            break
+
     # 1. PLAIN e2e first: the headline anchor AND the MFU reference. Its
     #    JSON line is printed the moment it exists, so an external kill
     #    later leaves a parseable record.
@@ -531,51 +662,73 @@ def main():
     # the contract line exists from this point on, whatever happens below
     _emit(rtf, dict(details, partial=True), platform)
 
-    # 2. FUSED serving config, with an anomaly guard: the fused+flash path
-    #    is genuinely ~18% faster e2e (chip A/B, VERDICT r4), so a fused
-    #    reading below 0.8x plain is always a measurement fault (r4's
-    #    official record was one: 114x fused vs 379x plain in the same
-    #    run) — re-measure once and keep the better fused reading.
-    if "fused_rtf" not in details and remaining() > 120:
-        fres, ferr = _subprocess_measure("fused",
-                                         min(900.0, remaining() - 30))
-        if (fres is not None
-                and isinstance(details.get("plain_rtf"), (int, float))
-                and fres["fused_rtf"] < 0.8 * details["plain_rtf"]
-                and remaining() > 120):
-            fres2, _ = _subprocess_measure("fused",
-                                           min(600.0, remaining() - 30))
-            if fres2 is not None and fres2["fused_rtf"] > fres["fused_rtf"]:
-                fres2["fused_remeasured"] = True
-                fres = fres2
-        if fres is not None:
-            details.update(fres)
-        else:
-            details["fused"] = f"error: {ferr}"
-
-    # headline = the BEST serving config measured this run; both candidates
-    # stay in details so the record is self-checking
-    candidates = [v for v in (details.get("plain_rtf"),
-                              details.get("fused_rtf"))
-                  if isinstance(v, (int, float))]
-    rtf = max(candidates)
-    details["headline_config"] = (
-        "fused" if rtf == details.get("fused_rtf") else "plain")
-    _emit(rtf, dict(details, partial=True), platform)
-
-    for name, per_budget in DETAIL_PLAN:
-        if remaining() < 90:
-            details[name] = "skipped: deadline"
-            continue
+    def measure_retrying(name, per_budget):
+        """_subprocess_measure + up to 2 stall-retries (relay-grant wedges
+        come in bursts; the watchdog kill that detects one also frees the
+        grant, so a settle-and-retry usually lands)."""
         res, err = _subprocess_measure(name, min(per_budget,
                                                  remaining() - 30))
-        if res is not None:
-            details.update(res)
-        else:
-            details[name] = f"error: {err}"
-        # re-emit after every detail: an external kill at any point leaves
-        # the most complete record as the last printed JSON line
-        _emit(rtf, dict(details, partial=True), platform)
+        for _ in range(2):
+            if res is not None or not (err and "stalled" in err
+                                       and remaining() > 300):
+                break
+            time.sleep(10)
+            res, err2 = _subprocess_measure(name, min(per_budget,
+                                                      remaining() - 30))
+            err = f"{err}; retry: {err2}" if res is None else None
+        return res, err
+
+    def headline_of():
+        candidates = [v for v in (details.get("plain_rtf"),
+                                  details.get("fused_rtf"))
+                      if isinstance(v, (int, float))]
+        rtf = max(candidates)
+        details["headline_config"] = (
+            "fused" if rtf == details.get("fused_rtf") else "plain")
+        return rtf
+
+    # 2. remaining measurements in TWO grouped subprocesses (one
+    #    relay-grant acquisition per family), falling back to singles only
+    #    for the keys a failed group left missing
+    for gname, gbudget, fallbacks in GROUP_PLAN:
+        if remaining() > 120:
+            res, err = measure_retrying(gname, gbudget)
+            if res is not None:
+                details.update(res)
+            else:
+                details[gname] = f"error: {err}"
+            _emit(headline_of(), dict(details, partial=True), platform)
+        for key, (sname, sbudget) in fallbacks.items():
+            if key in details or "error" in str(details.get(sname, "")):
+                # present, or the group ran the member and it failed for a
+                # real (non-wedge) reason a solo rerun would repeat
+                continue
+            if remaining() < 90:
+                details.setdefault(sname, "skipped: deadline")
+                continue
+            res, err = measure_retrying(sname, sbudget)
+            if res is not None:
+                details.update(res)
+            else:
+                details[sname] = f"error: {err}"
+            _emit(headline_of(), dict(details, partial=True), platform)
+
+    # anomaly guard on the fused reading: the fused+flash path is genuinely
+    # ~15-18% faster e2e (chip A/B, VERDICT r4), so fused < 0.8x plain is a
+    # measurement fault (r4's official record was one: 114x fused vs 379x
+    # plain in the same run) — re-measure once, keep the better reading
+    if (isinstance(details.get("fused_rtf"), (int, float))
+            and isinstance(details.get("plain_rtf"), (int, float))
+            and details["fused_rtf"] < 0.8 * details["plain_rtf"]
+            and remaining() > 120):
+        fres2, _ = measure_retrying("fused", 600)
+        if (fres2 is not None
+                and fres2["fused_rtf"] > details["fused_rtf"]):
+            fres2["fused_remeasured"] = True
+            details.update(fres2)
+
+    rtf = headline_of()
+    _emit(rtf, dict(details, partial=True), platform)
 
     # effective serving MFU: same model FLOPs (the plain program's count)
     # over the headline wall — flops/wall = mfu_plain * rtf/rtf_plain
