@@ -503,15 +503,25 @@ def _child_cpu_s(pid) -> float | None:
         return None
 
 
-def _run_with_watchdog(name, budget_s):
+def _run_with_watchdog(name, budget_s, stall_s=STALL_WINDOW_S):
     """Popen + poll with a no-progress watchdog.
 
     The axon relay's device grant can WEDGE after a client is killed
     mid-TPU-call (observed r5): the next client then futex-waits forever
     with zero CPU — and killing THAT client is what frees the grant. So a
-    child whose CPU time hasn't advanced in STALL_WINDOW_S is killed early
+    child whose CPU time hasn't advanced in stall_s is killed early
     (returning 'stalled'), which both salvages the budget and self-heals
-    the relay for the caller's retry."""
+    the relay for the caller's retry.
+
+    CAVEAT (observed r5, flagship 6x): a relay-side COLD COMPILE is
+    indistinguishable from a wedge on the client — the process futex-waits
+    the RPC with zero CPU for the whole 3-15 min compile. A fixed 180 s
+    window therefore stall-kills every uncached program BEFORE its cache
+    entry is written, making each retry identically cold and identically
+    doomed. Callers must escalate stall_s across retries (the first kill
+    heals a real wedge; a FRESH client stalling again immediately after a
+    heal is almost certainly compiling) and pass stall_s=None for
+    compile-only passes (warm), which disables the stall kill entirely."""
     import tempfile
 
     # spool to files, not pipes: a pipe-buffer-full child would block on
@@ -531,7 +541,7 @@ def _run_with_watchdog(name, budget_s):
             if cpu is not None and cpu > last_cpu + 0.5:
                 last_cpu, last_advance = cpu, now
             grace = now - last_advance
-            if now > deadline or grace > STALL_WINDOW_S:
+            if now > deadline or (stall_s is not None and grace > stall_s):
                 popen.kill()
                 popen.wait()
                 why = (f"timeout after {budget_s}s" if now > deadline
@@ -545,7 +555,7 @@ def _run_with_watchdog(name, budget_s):
     return popen, None
 
 
-def _subprocess_measure(name, budget_s):
+def _subprocess_measure(name, budget_s, stall_s=STALL_WINDOW_S):
     """Run one measurement in a subprocess; returns (dict | None, err | None).
 
     The subprocess is SIGKILLed at its budget — acceptable collateral: the
@@ -553,10 +563,11 @@ def _subprocess_measure(name, budget_s):
     can wedge the device grant until the next client is ALSO killed
     (observed r5: the killed attempt's successor futex-waited 20+ min with
     zero CPU). Progress lines go to stderr so a stall is attributable."""
-    print(f"[bench] {name}: start (budget {budget_s:.0f}s)",
+    print(f"[bench] {name}: start (budget {budget_s:.0f}s, "
+          f"stall {'off' if stall_s is None else int(stall_s)})",
           file=sys.stderr, flush=True)
     t0 = time.time()
-    proc, err = _run_with_watchdog(name, budget_s)
+    proc, err = _run_with_watchdog(name, budget_s, stall_s)
     if proc is None:
         print(f"[bench] {name}: KILLED ({err})", file=sys.stderr, flush=True)
         return None, err
@@ -606,7 +617,11 @@ def warm():
     measuring budget)."""
     for name in MEASUREMENTS:
         t0 = time.time()
-        res, err = _subprocess_measure(name, 2400)
+        # stall_s=None: a cold compile futex-waits with zero client CPU for
+        # up to ~15 min — the whole point of this pass is to sit through
+        # that once so the cache entry gets written (a stall-killed child
+        # writes nothing, leaving every future attempt just as cold)
+        res, err = _subprocess_measure(name, 2400, stall_s=None)
         status = "ok" if res is not None else f"FAILED: {err}"
         print(f"warm {name}: {status} ({time.time() - t0:.0f}s)", flush=True)
 
@@ -636,9 +651,14 @@ def main():
                                     min(900.0, max(120.0, remaining() - 60)))
     if head is None and remaining() > 180:
         # one retry — a transient relay drop is the common failure; the
-        # compile cache makes the retry cheaper
+        # compile cache makes the retry cheaper. Stall window widened to
+        # 900 s (the top of the observed cold-compile range): an identical
+        # 180 s window would kill a compiling retry at the same point,
+        # while no window at all would let a true wedge starve the fused
+        # fallback below of its remaining budget
         head, err2 = _subprocess_measure("plain",
-                                         max(120.0, remaining() - 30))
+                                         max(120.0, remaining() - 30),
+                                         stall_s=900.0)
         err = f"{err}; retry: {err2}" if head is None else None
     if head is None:
         # last resort: the fused serving config as the headline, so a
@@ -663,18 +683,28 @@ def main():
     _emit(rtf, dict(details, partial=True), platform)
 
     def measure_retrying(name, per_budget):
-        """_subprocess_measure + up to 2 stall-retries (relay-grant wedges
-        come in bursts; the watchdog kill that detects one also frees the
-        grant, so a settle-and-retry usually lands)."""
+        """_subprocess_measure + up to 2 stall-retries with an ESCALATING
+        stall window. Attempt 1 uses the tight window (a real wedge is
+        healed fast); attempts 2-3 tolerate progressively longer silence,
+        because a FRESH client that stalls immediately after a heal-kill is
+        almost certainly sitting in a relay-side cold compile (zero client
+        CPU for 3-15 min), not a second wedge — r5's flagship failed 6
+        straight attempts to exactly this false positive, and each kill
+        landed before the compile could write its cache entry. The last
+        window stays finite so a true wedge burst cannot burn a whole
+        group budget."""
+        stall_plan = (STALL_WINDOW_S, 600.0, 1200.0)
         res, err = _subprocess_measure(name, min(per_budget,
-                                                 remaining() - 30))
-        for _ in range(2):
+                                                 remaining() - 30),
+                                       stall_plan[0])
+        for stall_s in stall_plan[1:]:
             if res is not None or not (err and "stalled" in err
                                        and remaining() > 300):
                 break
             time.sleep(10)
             res, err2 = _subprocess_measure(name, min(per_budget,
-                                                      remaining() - 30))
+                                                      remaining() - 30),
+                                            stall_s)
             err = f"{err}; retry: {err2}" if res is None else None
         return res, err
 
