@@ -451,7 +451,7 @@ GROUP_PLAN = [
     ("serving_rest_group", 2000, {"fused_rtf": ("fused", 900),
                                   "batch1_p50_ms": ("batch1", 600),
                                   "throughput8_rtf": ("throughput8", 600),
-                                  "flagship_rtf": ("flagship", 900)}),
+                                  "flagship_rtf": ("flagship", 1500)}),
     ("train_group", 2800, {"stage2_train_step_ms": ("stage2", 1500),
                            "stage1_recipe_step_ms": ("stage1_recipe", 1200),
                            "stage1_train_step_ms": ("stage1", 900),
